@@ -1,0 +1,136 @@
+"""Golden-value tests for image ops, losses, and intensity mappers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsenerf_tpu.models import losses, mappers
+from lsenerf_tpu.ops import image, metrics
+
+
+def test_to_gray():
+    img = jnp.array([[[1.0, 1.0, 1.0]], [[1.0, 0.0, 0.0]]])
+    g = image.to_gray(img)
+    np.testing.assert_allclose(np.asarray(g[0, 0, 0]), 0.9999, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g[1, 0, 0]), 0.2989, atol=1e-5)
+    # 1-channel passthrough
+    one = jnp.ones((4, 1))
+    assert image.to_gray(one).shape == (4, 1)
+
+
+def test_lin_log():
+    x = jnp.array([0.0, 10.0, 20.0, 100.0])
+    y = np.asarray(image.lin_log(x))
+    f = np.log(20.0) / 20.0
+    np.testing.assert_allclose(y[:3], np.array([0.0, 10 * f, 20 * f]), atol=1e-4)
+    np.testing.assert_allclose(y[3], np.log(100.0), atol=1e-4)
+
+
+def test_log_loss_zero_when_consistent():
+    # if next = prev * exp(evs), the loss is ~0
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.uniform(0.2, 0.8, size=(64, 1)).astype(np.float32))
+    evs = jnp.asarray(rng.normal(size=(64, 1)).astype(np.float32) * 0.1)
+    nxt = prev * jnp.exp(evs)
+    assert float(losses.log_loss(evs, prev, nxt)) < 1e-8
+    assert float(losses.log_loss(evs, prev, prev)) > 1e-4
+
+
+def test_log_loss_rgb_reduces_to_gray():
+    rng = np.random.default_rng(1)
+    prev = jnp.asarray(rng.uniform(0.2, 0.8, size=(16, 3)).astype(np.float32))
+    nxt = jnp.asarray(rng.uniform(0.2, 0.8, size=(16, 3)).astype(np.float32))
+    evs = jnp.zeros((16, 1))
+    # 3-channel input gets converted to gray internally -> scalar loss, no NaN
+    val = float(losses.log_loss(evs, prev, nxt))
+    assert np.isfinite(val)
+
+
+def test_enerf_norm_loss_finite_and_grad():
+    rng = np.random.default_rng(2)
+    prev = jnp.asarray(rng.uniform(0.2, 0.8, size=(32, 1)).astype(np.float32))
+    nxt = jnp.asarray(rng.uniform(0.2, 0.8, size=(32, 1)).astype(np.float32))
+    evs = jnp.asarray(rng.normal(size=(32, 1)).astype(np.float32))
+    e_thresh = jnp.full((32, 1), 0.2)
+
+    def f(p):
+        return losses.enerf_norm_loss(evs, p, nxt, e_thresh)
+
+    g = jax.grad(f)(prev)
+    assert np.isfinite(float(f(prev)))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_rgb_to_one_variants():
+    x = jnp.ones((8, 3)) * 0.5
+    p = losses.init_rgb_to_one("learned")
+    out = losses.apply_rgb_to_one("learned", p, x)
+    assert out.shape == (8, 1)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)  # uniform softmax
+    out_gt = losses.apply_rgb_to_one("gt", {}, x)
+    np.testing.assert_allclose(np.asarray(out_gt), 0.5 * 0.9999, atol=1e-3)
+    out_id = losses.apply_rgb_to_one(False, {}, x)
+    assert out_id.shape == (8, 3)
+
+
+def test_mappers():
+    key = jax.random.PRNGKey(0)
+    x = jnp.linspace(0.01, 1.0, 50)[:, None]
+    # identity / gt are parameterless, exact
+    assert mappers.init_mapper("identity", key) == {}
+    np.testing.assert_allclose(
+        np.asarray(mappers.apply_mapper("gt", {}, x)), np.asarray(x) ** (1 / 2.4), atol=1e-5
+    )
+    # powpow starts as identity (exponent 1)
+    p = mappers.init_mapper("powpow", key)
+    np.testing.assert_allclose(np.asarray(mappers.apply_mapper("powpow", p, x)), np.asarray(x), atol=1e-5)
+    # powpow gradient exists
+    g = jax.grad(lambda pp: jnp.sum(mappers.apply_mapper("powpow", pp, x)))(p)
+    assert abs(float(g["pow_coeff"][0])) > 0
+
+
+def test_mlp_mapper_identity_init():
+    """MLP mapper must start near the identity on [0,1] (reference
+    intensity_mappers.py:8-25 pretrains it for 5000 steps)."""
+    p = mappers.init_mapper("mlp", jax.random.PRNGKey(0))
+    x = jnp.linspace(0.0, 1.0, 100)[:, None]
+    out = mappers.apply_mapper("mlp", p, x)
+    assert float(jnp.mean((out - x) ** 2)) < 1e-3
+
+
+def test_correct_img_scale():
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0.1, 1.0, size=(32, 32, 1)).astype(np.float32))
+    pred = gt**1.7 * 0.3  # log-affine distortion
+    corr = image.correct_img_scale(gt, pred)
+    assert float(jnp.mean(jnp.abs(corr - gt))) < 0.02
+
+
+def test_linear_correction():
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 16, 3)).astype(np.float32))
+    pred = gt * 0.5 + 0.1
+    corr = image.linear_correction(gt, pred)
+    assert float(jnp.mean(jnp.abs(corr - gt))) < 1e-4
+
+
+def test_psnr_ssim():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+    assert float(metrics.psnr(img, img)) > 80
+    assert abs(float(metrics.ssim(img, img)) - 1.0) < 1e-5
+    noisy = jnp.clip(img + 0.1 * jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32)), 0, 1)
+    p = float(metrics.psnr(img, noisy))
+    assert 15 < p < 25
+    s = float(metrics.ssim(img, noisy))
+    assert 0.1 < s < 0.99
+
+
+def test_error_map():
+    gt = jnp.ones((8, 8, 3)) * 0.5
+    pred = jnp.ones((8, 8, 3)) * 0.4
+    err = image.make_error_map(gt, pred)
+    assert err.shape == (8, 8, 3)
+    # positive error -> red-dominant
+    e = np.asarray(err)
+    assert (e[..., 0] >= e[..., 1]).all()
