@@ -1,0 +1,130 @@
+"""Multi-camera batch assembly: the host side of the training loop.
+
+Capability parity with reference lse_datamanager.py `MultiCamManager`: owns the
+RGB and event datasets, splits the ray budget by rgb_frac (deblur divides the
+RGB count by 4, :135-144), samples pixels uniformly with appearance_id /
+e_thresh metadata (lse_pixel_sampler.py), and emits one fixed-shape batch dict
+per step. Ray GENERATION happens on device inside the jitted train step (so
+pose gradients flow); this module only picks pixels and gathers ground truth.
+
+TPU-native data path: everything is preallocated numpy; a step batch is a dict
+of small arrays (indices + gt values), so host->device transfer per step is a
+few hundred KB regardless of image count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from lsenerf_tpu.data.dataset import ColorDataset, EventFrameDataset
+
+
+@dataclass
+class DataManagerConfig:
+    train_num_rays_per_batch: int = 3512  # reference lse_config.py:24
+    rgb_frac: float = 0.66
+    rgb_loss_mode: str = "mse"  # "mse" | "deblur"
+    eval_num_rays_per_batch: int = 1024
+
+    def __post_init__(self):
+        self.rgb_loss_mode = self.rgb_loss_mode.lower()
+        self.update_num_batch_rays()
+
+    def update_num_batch_rays(self):
+        """Ray-budget split (reference lse_datamanager.py:135-144): events get
+        (1-rgb_frac)/2 each for prev+next; deblur divides the RGB count by 4
+        because each pixel spawns 4 exposure rays."""
+        self.train_num_evs_rays_per_batch = int(
+            (1 - self.rgb_frac) * self.train_num_rays_per_batch * 0.5
+        )
+        if self.rgb_loss_mode == "deblur":
+            self.train_num_col_rays_per_batch = int(
+                (self.train_num_rays_per_batch - self.train_num_evs_rays_per_batch * 2)
+                * 0.25
+            )
+        else:
+            self.train_num_col_rays_per_batch = (
+                self.train_num_rays_per_batch - self.train_num_evs_rays_per_batch * 2
+            )
+
+
+class MultiCamDataManager:
+    """Samples fixed-shape pixel batches from the two sensor streams."""
+
+    def __init__(
+        self,
+        config: DataManagerConfig,
+        col_dataset: Optional[ColorDataset],
+        evs_dataset: Optional[EventFrameDataset] = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.col = col_dataset
+        self.evs = evs_dataset
+        self.rng = np.random.default_rng(seed)
+        self.num_embd = 1
+        ids = []
+        if col_dataset is not None:
+            ids.append(int(col_dataset.appearance_ids.max()))
+        if evs_dataset is not None:
+            ids.append(int(evs_dataset.appearance_ids.max()))
+        if ids:
+            self.num_embd = max(ids) + 1
+
+    # -- pixel sampling ------------------------------------------------------
+
+    def _sample_pixels(self, n: int, num_images: int, h: int, w: int):
+        c = self.rng.integers(0, num_images, size=n)
+        y = self.rng.integers(0, h, size=n)
+        x = self.rng.integers(0, w, size=n)
+        return c.astype(np.int32), y.astype(np.int32), x.astype(np.int32)
+
+    def next_train(self, step: int) -> dict:
+        """One training batch: dict of numpy arrays with static shapes.
+
+        Keys (present depending on the budget split):
+          col_indices (n,3) [cam,y,x], col_rgb (n,3), col_app_id (n,)
+          evs_indices (m,3), evs_values (m,1) e_thresh-scaled, evs_app_id (m,),
+          e_thresh (m,1)
+        """
+        batch = {}
+        n_col = self.config.train_num_col_rays_per_batch
+        if n_col > 0 and self.col is not None:
+            imgs = self.col.images
+            c, y, x = self._sample_pixels(n_col, len(imgs), *imgs.shape[1:3])
+            batch["col_indices"] = np.stack([c, y, x], axis=1)
+            batch["col_rgb"] = imgs[c, y, x]
+            batch["col_app_id"] = self.col.appearance_ids[c]
+
+        n_evs = self.config.train_num_evs_rays_per_batch
+        if n_evs > 0 and self.evs is not None:
+            ev = self.evs.eimgs
+            n_frames = len(ev)
+            # consecutive pairing needs camera i+1 to exist
+            max_frame = n_frames if self.evs.prev_cameras is not None else min(
+                n_frames, len(self.evs.cameras) - 1
+            )
+            c, y, x = self._sample_pixels(n_evs, max_frame, *ev.shape[1:3])
+            batch["evs_indices"] = np.stack([c, y, x], axis=1)
+            batch["evs_values"] = self.evs.get_scaled((c, y, x))
+            batch["evs_app_id"] = self.evs.appearance_ids[c]
+            batch["e_thresh"] = np.full((n_evs, 1), self.evs.e_thresh, np.float32)
+        return batch
+
+    def next_eval_image(self, idx: int, eval_dataset: Optional[ColorDataset] = None):
+        """Full-image pixel grid + gt for eval rendering."""
+        ds = eval_dataset if eval_dataset is not None else self.col
+        img = ds.images[idx]
+        h, w = img.shape[:2]
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        indices = np.stack(
+            [np.full(h * w, idx), ys.reshape(-1), xs.reshape(-1)], axis=1
+        ).astype(np.int32)
+        return {
+            "indices": indices,
+            "image": img,
+            "app_id": np.full((h * w,), ds.appearance_ids[idx], np.int32),
+        }

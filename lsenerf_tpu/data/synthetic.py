@@ -1,0 +1,130 @@
+"""Analytic synthetic scene: colored sphere + orbiting cameras + event frames.
+
+Test/benchmark scene generator (no disk data needed): a Lambertian-ish sphere
+whose surface color is a function of the normal, viewed by cameras on a circle
+looking at the origin. Event frames are exact delta-log-gray between
+consecutive camera images, so the event loss has a consistent optimum. This
+backs BASELINE config #1 (CPU-runnable RGB-only) and the event-path tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lsenerf_tpu.cameras.cameras import Cameras
+from lsenerf_tpu.data.dataset import ColorDataset, EventFrameDataset
+
+EPS = 1e-6
+REC601 = np.array([0.2989, 0.5870, 0.1140], np.float32)
+
+
+def look_at_c2w(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """OpenGL-convention camera-to-world (camera looks down -z)."""
+    forward = target - eye
+    forward = forward / np.linalg.norm(forward)
+    up = np.asarray(up, np.float64)
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, forward)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -forward  # -z is the view direction
+    c2w[:3, 3] = eye
+    return c2w[:3, :4].astype(np.float32)
+
+
+def orbit_cameras(
+    n: int, radius: float = 1.5, height: float = 0.4,
+    h: int = 64, w: int = 64, focal: float = 80.0,
+    t_span: float = 1e6, arc: float = 1.5 * np.pi,
+) -> Cameras:
+    import jax.numpy as jnp
+
+    angles = np.linspace(0.0, arc, n, endpoint=False)
+    c2ws = np.stack(
+        [
+            look_at_c2w(
+                np.array([radius * np.cos(a), height, radius * np.sin(a)]),
+                np.zeros(3),
+            )
+            for a in angles
+        ]
+    )
+    times = np.linspace(0.0, t_span, n).astype(np.float32)
+    return Cameras(
+        camera_to_worlds=jnp.asarray(c2ws),
+        fx=focal, fy=focal, cx=w / 2.0, cy=h / 2.0, width=w, height=h,
+        times=jnp.asarray(times),
+    )
+
+
+def render_sphere_image(cam_c2w: np.ndarray, cams: Cameras, sphere_r: float = 0.5):
+    """Analytic render of the normal-colored sphere (white background)."""
+    h, w = cams.height, cams.width
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dirs_cam = np.stack(
+        [
+            (xs - cams.cx) / cams.fx,
+            -(ys - cams.cy) / cams.fy,
+            -np.ones_like(xs, np.float64),
+        ],
+        axis=-1,
+    )
+    R, o = cam_c2w[:3, :3], cam_c2w[:3, 3]
+    d = dirs_cam @ R.T
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # ray-sphere: |o + t d|^2 = r^2
+    b = 2 * d @ o
+    c = o @ o - sphere_r**2
+    disc = b * b - 4 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+    hit &= t > 0
+
+    t_safe = np.where(np.isfinite(t), t, 0.0)
+    p = o[None, None] + t_safe[..., None] * d
+    normal = p / sphere_r
+    color = 0.5 + 0.45 * normal  # normal-coded surface color
+    img = np.ones((h, w, 3), np.float32)
+    img[hit] = color[hit].astype(np.float32)
+    return img
+
+
+def make_synthetic_scene(
+    n_cams: int = 12, h: int = 48, w: int = 48, focal: float = 60.0, e_thresh: float = 0.2
+):
+    """Returns (ColorDataset, EventFrameDataset).
+
+    Event frame i captures delta-log-gray between camera i and i+1 (consecutive
+    pairing, reference lse_ray_generator.py:46-68), stored as counts so that
+    counts * e_thresh == exact delta log intensity.
+    """
+    cams = orbit_cameras(n_cams, h=h, w=w, focal=focal)
+    c2ws = np.asarray(cams.camera_to_worlds)
+    images = np.stack([render_sphere_image(c2ws[i], cams) for i in range(n_cams)])
+
+    gray = images @ REC601
+    log_gray = np.log(gray + EPS)
+    eimgs = (log_gray[1:] - log_gray[:-1])[..., None] / e_thresh
+
+    col = ColorDataset(
+        images=images, cameras=cams, appearance_ids=np.arange(n_cams, dtype=np.int32)
+    )
+    import jax.numpy as jnp
+    from dataclasses import replace as _replace  # noqa: F401
+
+    evs_cams = Cameras(
+        camera_to_worlds=cams.camera_to_worlds,
+        fx=cams.fx, fy=cams.fy, cx=cams.cx, cy=cams.cy,
+        width=cams.width, height=cams.height,
+        times=cams.times,
+    )
+    evs = EventFrameDataset(
+        eimgs=eimgs.astype(np.float32),
+        cameras=evs_cams,
+        e_thresh=e_thresh,
+        appearance_ids=np.arange(n_cams - 1, dtype=np.int32),
+    )
+    return col, evs

@@ -1,0 +1,445 @@
+"""Experiment configuration tree + CLI + YAML round-trip + eval-mode surgery.
+
+Capability parity with the reference's three config mechanisms (SURVEY.md
+section 5): (1) a typed dataclass tree addressable with dotted CLI flags in
+the same spellings as the reference (--pipeline.model.map-mode,
+--pipeline.datamanager.rgb_frac, --optimizers.fields.optimizer.lr, ...);
+(2) `modify_config` post-parse surgery for eval / pretrain / render runs
+(train.py:237-304), including reloading a saved YAML config and selectively
+overriding it; (3) explicit run-mode flags threaded through the tree instead
+of the reference's gbconfig globals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os.path as osp
+from dataclasses import dataclass, field as dc_field
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+from lsenerf_tpu.data.datamanager import DataManagerConfig
+from lsenerf_tpu.data.parser import ParserConfig
+from lsenerf_tpu.engine.trainer import (
+    CameraOptConfig,
+    OptimizerGroupConfig,
+    TrainerConfig,
+)
+from lsenerf_tpu.models import embeddings as emb_lib
+from lsenerf_tpu.models import field as field_lib
+from lsenerf_tpu.models import lsenerf as model_lib
+from lsenerf_tpu.ops import hash_encoding as he
+from lsenerf_tpu.ops import occupancy as occ_lib
+
+
+# ---------------------------------------------------------------------------
+# CLI-facing dataclass tree (mutable; mirrors the reference flag names)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AdamConfig:
+    lr: float = 1e-2
+    eps: float = 1e-15
+
+
+@dataclass
+class SchedulerConfig:
+    lr_final: float = 1e-4
+    max_steps: int = 200000
+    warmup_steps: int = 0
+
+
+@dataclass
+class OptimizerSpec:
+    optimizer: AdamConfig = dc_field(default_factory=AdamConfig)
+    scheduler: SchedulerConfig = dc_field(default_factory=SchedulerConfig)
+
+
+@dataclass
+class OptimizersConfig:
+    fields: OptimizerSpec = dc_field(default_factory=OptimizerSpec)
+    camera_opt: OptimizerSpec = dc_field(
+        default_factory=lambda: OptimizerSpec(
+            optimizer=AdamConfig(lr=1e-3),
+            scheduler=SchedulerConfig(lr_final=1e-4, max_steps=5000),
+        )
+    )
+
+
+@dataclass
+class ColDataparserConfig:
+    data: str = ""
+    scale_factor: float = 1.0
+    scene_scale: float = 1.0
+    use_gray: bool = False
+    image_type: str = "gamma"  # obsolete knob kept for flag parity
+    quality: str = "clear"
+
+
+@dataclass
+class EvsDataparserConfig:
+    data: str = ""
+    scale_factor: float = 1.0
+    scene_scale: float = 1.0
+    e_thresh: str = "None"  # string-typed like the reference (lse_parser.py:270)
+    event_type: str = "None"
+
+
+@dataclass
+class EmbedConfig:
+    embedding_type: str = "global_emb"
+    emb_dim: int = 32
+    eval_mode: str = "zero"
+
+
+@dataclass
+class DataManagerCLI:
+    data: str = ""
+    col_dataparser: ColDataparserConfig = dc_field(default_factory=ColDataparserConfig)
+    evs_dataparser: EvsDataparserConfig = dc_field(default_factory=EvsDataparserConfig)
+    train_num_rays_per_batch: int = 3512
+    eval_num_rays_per_batch: int = 1024
+    rgb_frac: float = 0.66
+    rgb_loss_mode: str = "mse"
+    col_cam_optimizer: CameraOptConfig = dc_field(default_factory=CameraOptConfig)
+    evs_cam_optimizer: CameraOptConfig = dc_field(default_factory=CameraOptConfig)
+
+
+@dataclass
+class ModelCLI:
+    evs_loss_weight: float = 1.0
+    event_loss_type: str = "log_loss"
+    rgb_loss_type: str = "linspace"
+    use_mapping: bool = False
+    mapping_method: str = "mlp"
+    evs_mapping_method: str = "None"
+    map_mode: str = "evs_rgb"
+    ev_one_dim: str = "learned"
+    embed_config: EmbedConfig = dc_field(default_factory=EmbedConfig)
+    eval_num_rays_per_chunk: int = 3512
+    # field / grid capacity (NGP defaults, lse_field.py:130-137)
+    num_levels: int = 16
+    log2_hashmap_size: int = 19
+    max_res: int = 2048
+    grid_resolution: int = 128
+    grid_levels: int = 4
+    max_samples: int = 48
+    max_candidates: int = 512
+    disable_scene_contraction: bool = False
+    background_color: str = "random"
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class PipelineCLI:
+    datamanager: DataManagerCLI = dc_field(default_factory=DataManagerCLI)
+    model: ModelCLI = dc_field(default_factory=ModelCLI)
+
+
+@dataclass
+class MachineConfig:
+    seed: int = 42
+    num_devices: int = 1
+
+
+@dataclass
+class ExperimentConfig:
+    method_name: str = "lsenerf"
+    experiment_name: str = "unnamed"
+    output_dir: str = "outputs"
+    timestamp: str = ""
+    data: str = ""
+    max_num_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 25000
+    vis: str = "tensorboard"
+    is_eval: bool = False
+    emb_eval_mode: str = "zero"
+    do_pretrain: bool = False
+    is_render: bool = False
+    load_dir: str = ""
+    load_config: str = ""
+    load_checkpoint: str = ""
+    load_step: int = -1
+    machine: MachineConfig = dc_field(default_factory=MachineConfig)
+    pipeline: PipelineCLI = dc_field(default_factory=PipelineCLI)
+    optimizers: OptimizersConfig = dc_field(default_factory=OptimizersConfig)
+
+    def base_dir(self) -> str:
+        return osp.join(
+            self.output_dir, self.experiment_name, self.method_name, self.timestamp
+        )
+
+
+# ---------------------------------------------------------------------------
+# dotted-flag CLI over the dataclass tree
+# ---------------------------------------------------------------------------
+
+
+def _walk_fields(cls, prefix=""):
+    for f in dataclasses.fields(cls):
+        name = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            yield from _walk_fields(f.type, prefix=f"{name}.")
+        else:
+            yield name, f
+
+
+def add_config_args(parser: argparse.ArgumentParser, cls=ExperimentConfig):
+    for dotted, f in _walk_fields(cls):
+        flag = "--" + dotted
+        alt = "--" + dotted.replace("_", "-")
+        names = [flag] if flag == alt else [flag, alt]
+        ftype = f.type
+        if ftype is bool or ftype == "bool":
+            parser.add_argument(*names, dest=dotted, type=_parse_bool, default=None)
+        elif ftype in (int, "int"):
+            parser.add_argument(*names, dest=dotted, type=int, default=None)
+        elif ftype in (float, "float"):
+            parser.add_argument(*names, dest=dotted, type=float, default=None)
+        else:
+            parser.add_argument(*names, dest=dotted, type=str, default=None)
+    return parser
+
+
+def _parse_bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def apply_overrides(config: ExperimentConfig, ns: argparse.Namespace):
+    for dotted, value in vars(ns).items():
+        if value is None or "." not in dotted and not hasattr(config, dotted):
+            continue
+        if value is None:
+            continue
+        obj = config
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        if hasattr(obj, parts[-1]):
+            setattr(obj, parts[-1], value)
+    return config
+
+
+def parse_cli(argv=None) -> ExperimentConfig:
+    parser = argparse.ArgumentParser(
+        prog="train.py", description="LSENeRF-TPU trainer"
+    )
+    parser.add_argument("method", nargs="?", default="lsenerf")
+    add_config_args(parser)
+    ns = parser.parse_args(argv)
+    config = ExperimentConfig(method_name=ns.method)
+    return apply_overrides(config, ns)
+
+
+# ---------------------------------------------------------------------------
+# YAML round trip
+# ---------------------------------------------------------------------------
+
+
+def to_dict(config) -> dict:
+    return dataclasses.asdict(config)
+
+
+def from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+            kwargs[f.name] = from_dict(f.type, v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_config(config: ExperimentConfig, path: str):
+    import os
+
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(config), f, sort_keys=False)
+
+
+def load_config(path: str) -> ExperimentConfig:
+    with open(path) as f:
+        return from_dict(ExperimentConfig, yaml.safe_load(f))
+
+
+# ---------------------------------------------------------------------------
+# modify_config: eval / pretrain / render surgery (reference train.py:237-304)
+# ---------------------------------------------------------------------------
+
+
+def modify_config(config: ExperimentConfig) -> ExperimentConfig:
+    if config.load_config:
+        ori = config
+        config = load_config(config.load_config)
+        # selectively keep the CLI-run's overrides (train.py:239-260)
+        for k in (
+            "load_dir", "max_num_iterations", "steps_per_eval_image",
+            "steps_per_eval_all_images", "steps_per_save", "timestamp",
+            "emb_eval_mode", "is_eval", "do_pretrain", "is_render",
+        ):
+            setattr(config, k, getattr(ori, k))
+        config.pipeline.datamanager.col_dataparser.image_type = (
+            ori.pipeline.datamanager.col_dataparser.image_type
+        )
+        config.pipeline.datamanager.col_dataparser.quality = (
+            ori.pipeline.datamanager.col_dataparser.quality
+        )
+        if ori.output_dir != "outputs":
+            config.output_dir = ori.output_dir
+        if ori.data:
+            config.data = ori.data
+        config.pipeline.model.eval_num_rays_per_chunk = (
+            ori.pipeline.model.eval_num_rays_per_chunk
+        )
+
+        if config.is_eval:
+            from lsenerf_tpu.engine.checkpoints import latest_step
+
+            scene_tag = osp.basename(osp.dirname(str(ori.load_dir)))
+            config.method_name = osp.join(
+                config.method_name, f"{scene_tag}_eval_{config.emb_eval_mode}"
+            )
+            load = latest_step(str(ori.load_dir)) or 0
+            config.steps_per_eval_all_images = load + config.max_num_iterations - 5
+            config.pipeline.model.embed_config.eval_mode = config.emb_eval_mode
+            if not config.do_pretrain:
+                config.pipeline.model.rgb_loss_type = "linspace"
+                config.pipeline.datamanager.rgb_loss_mode = "mse"
+            else:
+                config.steps_per_eval_all_images = (
+                    load + config.max_num_iterations + 1000
+                )
+        else:
+            scene_tag = osp.basename(osp.dirname(str(ori.load_dir)))
+            config.method_name = osp.join(config.method_name, f"{scene_tag}_camopt")
+
+        config.pipeline.datamanager.col_cam_optimizer.mode = "SO3xR3"
+        if config.do_pretrain and config.pipeline.model.embed_config.eval_mode == "param":
+            config.pipeline.model.rgb_loss_type = "deblur"
+            config.pipeline.datamanager.rgb_loss_mode = "deblur"
+        elif config.do_pretrain:
+            raise ValueError("pretrain only makes sense with eval_mode='param'")
+        else:
+            config.pipeline.datamanager.col_cam_optimizer.optim_type = "ns"
+        config.pipeline.datamanager.col_cam_optimizer.scheme = "active"
+
+    if config.pipeline.model.rgb_loss_type == "deblur":
+        config.pipeline.datamanager.rgb_loss_mode = "deblur"
+        config.pipeline.datamanager.col_cam_optimizer.optim_type = "spline"
+
+    if config.is_eval:
+        # eval trains camera-opt on RGB only (lse_datamanager.py:218-220)
+        config.pipeline.datamanager.rgb_frac = 1.0
+    return config
+
+
+# ---------------------------------------------------------------------------
+# lowering: CLI tree -> runtime configs
+# ---------------------------------------------------------------------------
+
+
+def build_runtime_configs(config: ExperimentConfig):
+    """ExperimentConfig -> (TrainerConfig, ModelConfig, DataManagerConfig,
+    ParserConfig x2)."""
+    m = config.pipeline.model
+    dm = config.pipeline.datamanager
+
+    scene_scale = dm.col_dataparser.scene_scale
+    model_cfg = model_lib.ModelConfig(
+        field=field_lib.FieldConfig(
+            aabb_scale=scene_scale,
+            use_contraction=not m.disable_scene_contraction,
+            hash=he.HashEncodingConfig(
+                num_levels=m.num_levels,
+                log2_hashmap_size=m.log2_hashmap_size,
+                max_res=m.max_res,
+            ),
+            embedding=emb_lib.EmbeddingConfig(
+                embedding_type=m.embed_config.embedding_type,
+                emb_dim=m.embed_config.emb_dim,
+                eval_mode=m.embed_config.eval_mode,
+            ),
+            compute_dtype=m.compute_dtype,
+        ),
+        grid=occ_lib.OccGridConfig(
+            resolution=m.grid_resolution,
+            levels=m.grid_levels,
+            aabb_scale=scene_scale,
+        ),
+        max_samples=m.max_samples,
+        max_candidates=m.max_candidates,
+        background_color=m.background_color,
+        evs_loss_weight=m.evs_loss_weight,
+        event_loss_type=m.event_loss_type,
+        rgb_loss_type=m.rgb_loss_type,
+        use_mapping=m.use_mapping,
+        mapping_method=m.mapping_method,
+        evs_mapping_method=m.evs_mapping_method,
+        map_mode=m.map_mode,
+        ev_one_dim=m.ev_one_dim,
+    ).normalized()
+
+    def group(spec: OptimizerSpec) -> OptimizerGroupConfig:
+        return OptimizerGroupConfig(
+            lr=spec.optimizer.lr,
+            eps=spec.optimizer.eps,
+            lr_final=spec.scheduler.lr_final,
+            max_steps=spec.scheduler.max_steps,
+            warmup_steps=spec.scheduler.warmup_steps,
+        )
+
+    from lsenerf_tpu.engine.trainer import RunMode
+
+    if config.do_pretrain:
+        mode = RunMode.PRETRAIN
+    elif config.is_render:
+        mode = RunMode.RENDER
+    elif config.is_eval:
+        mode = RunMode.EVAL
+    else:
+        mode = RunMode.TRAIN
+
+    trainer_cfg = TrainerConfig(
+        max_num_iterations=config.max_num_iterations,
+        steps_per_save=config.steps_per_save,
+        steps_per_eval_image=config.steps_per_eval_image,
+        steps_per_eval_all_images=config.steps_per_eval_all_images,
+        seed=config.machine.seed,
+        mode=mode,
+        fields_optimizer=group(config.optimizers.fields),
+        camera_optimizer=group(config.optimizers.camera_opt),
+        col_cam_opt=dm.col_cam_optimizer,
+        evs_cam_opt=dm.evs_cam_optimizer,
+    )
+
+    dm_cfg = DataManagerConfig(
+        train_num_rays_per_batch=dm.train_num_rays_per_batch,
+        rgb_frac=dm.rgb_frac,
+        rgb_loss_mode=dm.rgb_loss_mode,
+        eval_num_rays_per_batch=dm.eval_num_rays_per_batch,
+    )
+
+    e_thresh = dm.evs_dataparser.e_thresh
+    e_thresh = None if str(e_thresh).lower() == "none" else float(e_thresh)
+    event_type = dm.evs_dataparser.event_type
+    event_type = None if str(event_type).lower() == "none" else event_type
+    parser_cfg = ParserConfig(
+        scale_factor=dm.col_dataparser.scale_factor,
+        scene_scale=scene_scale,
+        use_gray=dm.col_dataparser.use_gray,
+        e_thresh=e_thresh,
+        event_type=event_type,
+    )
+    return trainer_cfg, model_cfg, dm_cfg, parser_cfg

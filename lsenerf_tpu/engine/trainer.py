@@ -1,0 +1,469 @@
+"""Trainer: TrainState, jitted train step, occupancy-grid cadence, train loop.
+
+Capability parity with the reference engine layer (lse_trainer.py + the
+inherited nerfstudio Trainer, SURVEY.md section 2b):
+  - two named optimizer groups "fields" / "camera_opt", each Adam(eps=1e-15)
+    with exponential LR decay (lse_config.py:29-38), realized as one
+    optax.multi_transform over the params pytree
+  - per-step 3-way forward (col / prev / next event bundles) with losses
+    (lse_pipeline.py:111-145)
+  - occupancy-grid update callback cadence (inherited NGPModel behavior)
+  - eval/pretrain/render run modes as an explicit RunMode enum instead of the
+    reference's gbconfig globals (utils.py:15-20)
+
+TPU-native: the whole step — ray generation (differentiable through camera
+params), 3x volume render, loss, grads, optimizer — is ONE jitted function
+with donated state. Static config selects branches at trace time, so e.g. an
+RGB-only run compiles no event code (the XLA answer to DDP's
+find_unused_parameters).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from lsenerf_tpu.cameras import cameras as cam_lib
+from lsenerf_tpu.cameras import pose_opt
+from lsenerf_tpu.cameras.rays import HardCamType
+from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+from lsenerf_tpu.engine.schedules import exponential_decay
+from lsenerf_tpu.models import field as field_lib
+from lsenerf_tpu.models import lsenerf as model_lib
+from lsenerf_tpu.ops import interp
+from lsenerf_tpu.ops import occupancy as occ_lib
+
+
+class RunMode:
+    """Explicit run mode replacing gbconfig.{IS_EVAL, DO_PRETRAIN, IS_RENDER}."""
+
+    TRAIN = "train"
+    EVAL = "eval"  # frozen field, camera-opt-only refinement
+    PRETRAIN = "pretrain"  # test-embedding fit (emb_eval stage 1)
+    RENDER = "render"
+
+
+@dataclass
+class OptimizerGroupConfig:
+    lr: float = 1e-2
+    eps: float = 1e-15
+    lr_final: float = 1e-4
+    max_steps: int = 200000
+    warmup_steps: int = 0
+
+
+@dataclass
+class CameraOptConfig:
+    """Mirror of reference CameraOptimizerConfig (ns_camera_optimizer.py:420-457)."""
+
+    mode: str = "off"  # off | SO3xR3 | SE3
+    optim_type: str = "ns"  # ns | spline | prevnext
+    scheme: str = "active"  # active | delayed
+    delay_cnt: int = 10000
+    exp_t: float = 30000.0
+    control_pnt_factor: int = 1
+
+    def __post_init__(self):
+        if self.mode == "off":
+            self.scheme = "active"
+
+
+@dataclass
+class TrainerConfig:
+    max_num_iterations: int = 30000  # reference lse_config.py:18
+    steps_per_save: int = 2000
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 25000
+    seed: int = 42
+    mode: str = RunMode.TRAIN
+    fields_optimizer: OptimizerGroupConfig = dc_field(
+        default_factory=OptimizerGroupConfig
+    )
+    camera_optimizer: OptimizerGroupConfig = dc_field(
+        default_factory=lambda: OptimizerGroupConfig(
+            lr=1e-3, lr_final=1e-4, max_steps=5000
+        )
+    )
+    col_cam_opt: CameraOptConfig = dc_field(default_factory=CameraOptConfig)
+    evs_cam_opt: CameraOptConfig = dc_field(default_factory=CameraOptConfig)
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: dict
+    opt_state: object
+    occ: occ_lib.OccGridState
+    rng: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# optimizer assembly
+# ---------------------------------------------------------------------------
+
+
+def build_optimizer(config: TrainerConfig, params: dict) -> optax.GradientTransformation:
+    """One multi_transform: subtree 'model' -> fields group, 'camera_opt'
+    subtree -> camera group. A mode (EVAL/PRETRAIN) that freezes a group gets
+    zero updates for it (reference deletes optimizer groups instead,
+    lse_trainer.py:47-66 — masking is the functional equivalent)."""
+
+    def adam_for(g: OptimizerGroupConfig):
+        return optax.adam(
+            learning_rate=exponential_decay(
+                g.lr, g.lr_final, g.max_steps, g.warmup_steps
+            ),
+            eps=g.eps,
+        )
+
+    transforms = {
+        "fields": adam_for(config.fields_optimizer),
+        "camera_opt": adam_for(config.camera_optimizer),
+        "frozen": optax.set_to_zero(),
+    }
+
+    def label_fn(p):
+        def subtree_label(path_root, label):
+            return jax.tree.map(lambda _: label, p[path_root])
+
+        labels = {}
+        if config.mode == RunMode.EVAL:
+            # field frozen; only camera-opt trains (lse_trainer.py:60-61)
+            labels["model"] = subtree_label("model", "frozen")
+        elif config.mode == RunMode.PRETRAIN:
+            # only the test embedding trains (setup_pretrain, lse_trainer.py:40-44)
+            def pretrain_label(path, leaf):
+                names = [str(k) for k in path]
+                return "fields" if "test_table" in "/".join(names) else "frozen"
+
+            labels["model"] = jax.tree_util.tree_map_with_path(
+                pretrain_label, p["model"]
+            )
+        elif config.mode == RunMode.RENDER:
+            labels["model"] = subtree_label("model", "frozen")
+        else:
+            labels["model"] = subtree_label("model", "fields")
+
+        if config.mode in (RunMode.PRETRAIN, RunMode.RENDER):
+            labels["camera_opt"] = subtree_label("camera_opt", "frozen")
+        else:
+            labels["camera_opt"] = subtree_label("camera_opt", "camera_opt")
+        return labels
+
+    return optax.multi_transform(transforms, label_fn)
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    """Owns datasets, static configs, compiled step functions, and the loop."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model_config: model_lib.ModelConfig,
+        dm: MultiCamDataManager,
+        eval_dataset=None,
+    ):
+        self.config = config
+        self.model_config = model_config.normalized()
+        self.dm = dm
+        self.eval_dataset = eval_dataset
+
+        # --- camera optimizer setup (mirrors lse_datamanager.setup_train) ---
+        self.col_spline_params, self.col_spline_static = None, None
+        cc = config.col_cam_opt
+        if cc.optim_type == "spline":
+            cams = dm.col.cameras
+            dM = getattr(dm.col, "dM", None)
+            self.col_spline_params, self.col_spline_static = pose_opt.init_spline(
+                np.asarray(
+                    jnp.concatenate(
+                        [
+                            cams.camera_to_worlds,
+                            jnp.broadcast_to(
+                                jnp.asarray([[[0.0, 0, 0, 1]]]),
+                                (len(cams), 1, 4),
+                            ),
+                        ],
+                        axis=1,
+                    )
+                ),
+                np.asarray(cams.times),
+                control_pnt_factor=cc.control_pnt_factor,
+                dM=dM,
+                exp_t=cc.exp_t,
+            )
+
+        # evs prev/next auto-detect (lse_datamanager.py:299-300)
+        ec = config.evs_cam_opt
+        if (
+            dm.evs is not None
+            and dm.evs.prev_cameras is not None
+            and ec.optim_type != "spline"
+        ):
+            ec.optim_type = "prevnext"
+
+        # rgb timestamps for the camera-idx fixer (data_components.py:70-90)
+        self.rgb_ts = None
+        if dm.col is not None and dm.col.cameras.times is not None:
+            self.rgb_ts = dm.col.cameras.times
+
+        self._train_step = None
+        self._occ_sampled_update = None
+        self._occ_full_update = None
+
+    # -- init ----------------------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        k_model, k_rng = jax.random.split(key)
+        model_params = model_lib.init_model(
+            k_model, self.model_config, num_imgs=self.dm.num_embd
+        )
+        cam_params = {"col": {}, "evs": {}}
+        cc, ec = self.config.col_cam_opt, self.config.evs_cam_opt
+        if cc.optim_type == "spline":
+            cam_params["col"] = self.col_spline_params
+        elif cc.mode != "off" and self.dm.col is not None:
+            cam_params["col"] = pose_opt.init_pose_deltas(len(self.dm.col.cameras))
+        if self.dm.evs is not None and ec.optim_type != "spline":
+            if ec.optim_type == "prevnext":
+                cam_params["evs"] = pose_opt.init_prevnext_deltas(
+                    len(self.dm.evs.prev_cameras)
+                )
+            elif ec.mode != "off":
+                cam_params["evs"] = pose_opt.init_pose_deltas(len(self.dm.evs.cameras))
+
+        params = {"model": model_params, "camera_opt": cam_params}
+        tx = build_optimizer(self.config, params)
+        occ = occ_lib.init_occ_grid(self.model_config.grid)
+        return TrainState(
+            step=jnp.int32(0),
+            params=params,
+            opt_state=tx.init(params),
+            occ=occ,
+            rng=k_rng,
+        )
+
+    # -- bundle construction (inside jit; differentiable w.r.t. cam params) --
+
+    def _make_col_bundle(self, cam_params: dict, batch: dict, gate):
+        cfg = self.config.col_cam_opt
+        cams = self.dm.col.cameras
+        idx = batch["col_indices"][:, 0]
+        coords = batch["col_indices"][:, 1:].astype(jnp.float32)
+        deblur = self.model_config.rgb_loss_type == "deblur"
+
+        if cfg.optim_type == "spline":
+            times = cams.times[idx][:, None]
+            if deblur:
+                c2w = pose_opt.spline_deblur_c2w(
+                    cam_params["col"], self.col_spline_static, times, gate
+                )
+                n = idx.shape[0]
+                idx4 = jnp.repeat(idx, 4)
+                coords4 = jnp.repeat(coords, 4, axis=0)
+                bundle = cam_lib.generate_rays(cams, idx4, coords4, c2w=c2w)
+            else:
+                c2w = pose_opt.spline_rgb_c2w(
+                    cam_params["col"], self.col_spline_static, times[:, 0], gate
+                )
+                bundle = cam_lib.generate_rays(cams, idx, coords, c2w=c2w)
+        else:
+            bundle = cam_lib.generate_rays(cams, idx, coords)
+            if cfg.mode != "off":
+                bundle = pose_opt.apply_pose_deltas_to_bundle(
+                    cam_params["col"], bundle, gate, cfg.mode
+                )
+
+        app = batch["col_app_id"].astype(jnp.int32)
+        if deblur:
+            # fix_appearance_id (utils.py:943-951): neighbors get offset ids
+            delta = jnp.arange(4, dtype=jnp.int32) - 2
+            app = jnp.clip(app[:, None] + delta[None], 0, self.dm.num_embd - 1)
+            app = app.reshape(-1)
+        meta = dict(bundle.metadata)
+        meta["appearance_id"] = app
+        meta["cam_type"] = jnp.full_like(app, HardCamType.RGB)
+        return bundle.replace(metadata=meta)
+
+    def _make_evs_bundles(self, cam_params: dict, batch: dict, gate):
+        cfg = self.config.evs_cam_opt
+        evs = self.dm.evs
+        idx = batch["evs_indices"][:, 0]
+        coords = batch["evs_indices"][:, 1:].astype(jnp.float32)
+
+        if evs.prev_cameras is not None:
+            prev = cam_lib.generate_rays(evs.prev_cameras, idx, coords)
+            nxt = cam_lib.generate_rays(evs.next_cameras, idx, coords)
+            if cfg.optim_type == "prevnext" and cfg.mode != "off":
+                prev, nxt = pose_opt.apply_prevnext_to_bundles(
+                    cam_params["evs"], prev, nxt, gate, cfg.mode
+                )
+        elif cfg.optim_type == "spline":
+            # consecutive cameras via the shared spline + dM
+            cams = evs.cameras
+            t_prev = cams.times[idx]
+            t_next = cams.times[idx + 1]
+            c2w_p = pose_opt.spline_evs_c2w(
+                cam_params["col"], self.col_spline_static, t_prev, gate
+            )
+            c2w_n = pose_opt.spline_evs_c2w(
+                cam_params["col"], self.col_spline_static, t_next, gate
+            )
+            prev = cam_lib.generate_rays(cams, idx, coords, c2w=c2w_p)
+            nxt = cam_lib.generate_rays(cams, idx + 1, coords, c2w=c2w_n)
+        else:
+            cams = evs.cameras
+            prev = cam_lib.generate_rays(cams, idx, coords)
+            nxt = cam_lib.generate_rays(cams, idx + 1, coords)
+            if cfg.mode != "off":
+                prev = pose_opt.apply_pose_deltas_to_bundle(
+                    cam_params["evs"], prev, gate, cfg.mode
+                )
+                nxt = pose_opt.apply_pose_deltas_to_bundle(
+                    cam_params["evs"], nxt, gate, cfg.mode
+                )
+
+        app = batch["evs_app_id"].astype(jnp.int32)
+        out = []
+        for b in (prev, nxt):
+            meta = dict(b.metadata)
+            meta["appearance_id"] = app
+            meta["cam_type"] = jnp.full_like(app, HardCamType.EVS)
+            b = b.replace(metadata=meta)
+            # CameraIdxFixer: snap event times to nearest RGB camera index
+            # (data_components.py:70-90)
+            if self.rgb_ts is not None and b.times is not None:
+                fixed = interp.find_closest_idxs(self.rgb_ts, b.times[:, 0])
+                b = b.replace(camera_indices=fixed[:, None].astype(jnp.int32))
+            out.append(b)
+        return out[0], out[1]
+
+    # -- the jitted step -----------------------------------------------------
+
+    def make_train_step(self):
+        mcfg = self.model_config
+        tcfg = self.config
+        has_col = self.dm.config.train_num_col_rays_per_batch > 0 and self.dm.col is not None
+        has_evs = (
+            self.dm.config.train_num_evs_rays_per_batch > 0 and self.dm.evs is not None
+        )
+        def loss_fn(params, occ, batch, step):
+            col_gate = pose_opt.activation_gate(
+                step, tcfg.col_cam_opt.scheme, tcfg.col_cam_opt.delay_cnt
+            )
+            evs_gate = pose_opt.activation_gate(
+                step, tcfg.evs_cam_opt.scheme, tcfg.evs_cam_opt.delay_cnt
+            )
+            cam_params = params["camera_opt"]
+            col_out = prev_out = next_out = None
+            col_batch = evs_batch = None
+            if has_col:
+                bundle = self._make_col_bundle(cam_params, batch, col_gate)
+                col_out = model_lib.model_forward(
+                    params["model"], bundle, occ, mcfg, train=True, ev_out=False
+                )
+                col_batch = {"image": batch["col_rgb"]}
+            if has_evs:
+                prev_b, next_b = self._make_evs_bundles(cam_params, batch, evs_gate)
+                prev_out = model_lib.model_forward(
+                    params["model"], prev_b, occ, mcfg, train=True, ev_out=True
+                )
+                next_out = model_lib.model_forward(
+                    params["model"], next_b, occ, mcfg, train=True, ev_out=True
+                )
+                evs_batch = {
+                    "image": batch["evs_values"],
+                    "e_thresh": batch["e_thresh"],
+                }
+            loss_dict = model_lib.compute_losses(
+                params["model"], mcfg, col_out, prev_out, next_out, col_batch, evs_batch
+            )
+            total = sum(loss_dict.values())
+            metrics = dict(loss_dict)
+            if col_out is not None:
+                mse = jnp.mean((col_out["rgb"] - col_batch["image"]) ** 2)
+                metrics["psnr"] = -10.0 * jnp.log10(mse)
+                metrics["num_samples_per_ray"] = jnp.mean(
+                    col_out["num_samples_per_ray"].astype(jnp.float32)
+                )
+            return total, metrics
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch: dict):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.occ, batch, state.step
+            )
+            updates, new_opt = self._tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["loss"] = loss
+            return (
+                state.replace(
+                    step=state.step + 1, params=new_params, opt_state=new_opt
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    # -- occupancy maintenance ----------------------------------------------
+
+    def make_occ_update(self):
+        mcfg = self.model_config
+        gcfg = mcfg.grid
+        step_size = mcfg.march_config().render_step_size
+        num_cells = max(
+            1, int(gcfg.resolution**3 * gcfg.sample_fraction)
+        )
+
+        @jax.jit
+        def occ_update(state: TrainState) -> TrainState:
+            rng, k = jax.random.split(state.rng)
+            cell_ids, positions = occ_lib.sample_update_positions(k, gcfg, num_cells)
+            dens = field_lib.density_fn(
+                jax.lax.stop_gradient(state.params["model"]["field"]),
+                positions.reshape(-1, 3),
+                mcfg.field,
+            ).reshape(gcfg.levels, num_cells)
+            occ = occ_lib.sampled_update(state.occ, cell_ids, dens * step_size, gcfg)
+            return state.replace(occ=occ, rng=rng)
+
+        return occ_update
+
+    # -- loop ----------------------------------------------------------------
+
+    def setup(self, key: jax.Array) -> TrainState:
+        state = self.init_state(key)
+        self._tx = build_optimizer(self.config, state.params)
+        state = state.replace(opt_state=self._tx.init(state.params))
+        self._train_step = self.make_train_step()
+        self._occ_update = self.make_occ_update()
+        return state
+
+    def train(self, state: TrainState, num_steps: Optional[int] = None, log_every=100,
+              callback=None):
+        num_steps = num_steps or self.config.max_num_iterations
+        gcfg = self.model_config.grid
+        metrics = {}
+        for i in range(num_steps):
+            step = int(state.step)
+            if step % gcfg.update_interval == 0:
+                state = self._occ_update(state)
+            batch = {
+                k: jnp.asarray(v) for k, v in self.dm.next_train(step).items()
+            }
+            state, metrics = self._train_step(state, batch)
+            if callback is not None and (step % log_every == 0):
+                callback(step, {k: float(v) for k, v in metrics.items()})
+        return state, metrics

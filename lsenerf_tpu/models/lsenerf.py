@@ -1,0 +1,250 @@
+"""LSENeRF model: volume rendering forward + mapper routing + loss assembly.
+
+Capability parity with reference lsenerf.py `LSENeRFModel`:
+  - exec_get_outputs (:278-326): march -> field -> weights -> rgb/depth/acc
+  - get_outputs mapper routing (:329-377): map_mode in {evs_rgb, rgb_evs,
+    co_map}, rgb_to_one reduction (learned ThreeToOne / fixed gray), deblur
+    mean-of-4, train clamp(1e-5)/eval clamp[0,1]
+  - get_loss_dict (:422-439): rgb mse (plain or deblur) + weighted event loss
+  - config surface (:47-99) incl. string-"None" normalization
+
+Pure functions over (params, config, occ grid state); a ModelConfig is static
+at trace time so unused branches compile away — the TPU answer to DDP's
+find_unused_parameters=True (train.py:96-98 via SURVEY section 5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lsenerf_tpu.cameras.rays import RayBundle
+from lsenerf_tpu.models import field as field_lib
+from lsenerf_tpu.models import losses as loss_lib
+from lsenerf_tpu.models import mappers as mapper_lib
+from lsenerf_tpu.ops import composite, march
+from lsenerf_tpu.ops import occupancy as occ_lib
+
+
+def _norm_none(v):
+    if isinstance(v, str) and v.lower() in ("none", "false"):
+        return None
+    return v
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    field: field_lib.FieldConfig = dc_field(default_factory=field_lib.FieldConfig)
+    grid: occ_lib.OccGridConfig = dc_field(default_factory=occ_lib.OccGridConfig)
+    render_step_size: Optional[float] = None  # None -> scene diag / 1000
+    near_plane: float = 0.05
+    far_plane: float = 1e3
+    cone_angle: float = 0.004
+    alpha_thre: float = 0.01
+    early_stop_eps: float = 1e-4
+    max_samples: int = 48
+    max_candidates: int = 512
+    background_color: str = "random"  # NGP eval background
+
+    evs_loss_weight: float = 1.0
+    event_loss_type: str = "log_loss"  # or "enerf_norm_loss"
+    rgb_loss_type: str = "linspace"  # or "deblur"
+    use_mapping: bool = False
+    mapping_method: str = "mlp"
+    evs_mapping_method: Optional[str] = None
+    map_mode: str = "evs_rgb"  # evs_rgb | rgb_evs | co_map
+    ev_one_dim: Optional[str] = "learned"  # learned | gt | None
+
+    def normalized(self) -> "ModelConfig":
+        """String-"None"/"False" cleanup (reference lsenerf.py:86-99)."""
+        from dataclasses import replace
+
+        map_mode = self.map_mode
+        if isinstance(map_mode, str) and map_mode.lower() == "none":
+            map_mode = "evs_rgb"
+        ev = self.ev_one_dim
+        if isinstance(ev, str):
+            if ev.lower() in ("false", "none"):
+                ev = None
+            elif ev.lower() == "true":
+                ev = "learned"
+        rgb_loss = self.rgb_loss_type
+        if isinstance(rgb_loss, str) and rgb_loss.lower() == "none":
+            rgb_loss = "linspace"
+        return replace(
+            self,
+            map_mode=map_mode,
+            ev_one_dim=ev,
+            rgb_loss_type=rgb_loss,
+            evs_mapping_method=_norm_none(self.evs_mapping_method),
+        )
+
+    def march_config(self) -> march.MarchConfig:
+        step = self.render_step_size
+        if step is None:
+            # auto step: scene diag / 1000 (lsenerf.py:180-182)
+            diag = 2.0 * self.field.aabb_scale * (3.0**0.5)
+            step = diag / 1000.0
+        return march.MarchConfig(
+            render_step_size=step,
+            near_plane=self.near_plane,
+            far_plane=self.far_plane,
+            cone_angle=self.cone_angle,
+            alpha_thre=self.alpha_thre,
+            early_stop_eps=self.early_stop_eps,
+            max_samples=self.max_samples,
+            max_candidates=self.max_candidates,
+        )
+
+
+def init_model(key: jax.Array, config: ModelConfig, num_imgs: int = 1) -> dict:
+    """Model params: field + optional mappers + optional rgb->1 reducer."""
+    k_field, k_map, k_evmap = jax.random.split(key, 3)
+    params = {"field": field_lib.init_field(k_field, config.field, num_imgs)}
+    if config.use_mapping:
+        params["rgb_mapper"] = mapper_lib.init_mapper(config.mapping_method, k_map)
+    if config.evs_mapping_method is not None and config.map_mode == "co_map":
+        params["evs_mapper"] = mapper_lib.init_mapper(
+            config.evs_mapping_method, k_evmap
+        )
+    if config.ev_one_dim == "learned":
+        params["rgb_to_one"] = loss_lib.init_rgb_to_one("learned")
+    return params
+
+
+def render_bundle(
+    params: dict,
+    bundle: RayBundle,
+    occ_state: occ_lib.OccGridState,
+    config: ModelConfig,
+    train: bool = True,
+) -> dict:
+    """Volume-render a ray bundle (reference exec_get_outputs, lsenerf.py:278-326)."""
+    samples = march.march_rays(bundle, occ_state, config.grid, config.march_config())
+    n, k = samples.mask.shape
+
+    app_id = bundle.metadata.get("appearance_id")
+    if app_id is None:
+        app_id = bundle.camera_indices
+    app_ids = jnp.broadcast_to(app_id.reshape(n, 1), (n, k)).reshape(-1)
+
+    density, rgb = field_lib.field_apply(
+        params["field"],
+        samples.positions.reshape(-1, 3),
+        samples.directions.reshape(-1, 3),
+        app_ids,
+        config.field,
+        train=train,
+    )
+    density = density.reshape(n, k, 1)
+    rgb = rgb.reshape(n, k, 3)
+
+    weights = composite.render_weights(
+        samples, density, config.alpha_thre, config.early_stop_eps
+    )
+    out = {
+        "rgb": composite.render_rgb(weights, rgb, background="linear"),
+        "depth": composite.render_depth(weights, samples),
+        "accumulation": composite.render_accumulation(weights),
+        "num_samples_per_ray": jnp.sum(samples.mask, axis=-1),
+    }
+    return out
+
+
+def _correct_evs_dim(params: dict, config: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if config.ev_one_dim:
+        return loss_lib.apply_rgb_to_one(
+            config.ev_one_dim, params.get("rgb_to_one", {}), x
+        )
+    return x
+
+
+def _format_linear(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([x] * 3, axis=-1) if x.shape[-1] == 1 else x
+
+
+def model_forward(
+    params: dict,
+    bundle: RayBundle,
+    occ_state: occ_lib.OccGridState,
+    config: ModelConfig,
+    train: bool = True,
+    ev_out: bool = False,
+) -> dict:
+    """Full forward incl. mapper routing (reference get_outputs, lsenerf.py:329-377)."""
+    out = render_bundle(params, bundle, occ_state, config, train=train)
+    clamp_out = jnp.clip(out["rgb"], min=1e-5)
+
+    if config.use_mapping or config.map_mode == "rgb_evs":
+        if config.map_mode == "rgb_evs":
+            # vol_ren -> rgb -> evs
+            if ev_out or not train:
+                out["ev_out"] = mapper_lib.apply_mapper(
+                    config.mapping_method,
+                    params["rgb_mapper"],
+                    _correct_evs_dim(params, config, clamp_out),
+                )
+                out["linear"] = _format_linear(out["ev_out"])
+        elif config.map_mode == "evs_rgb":
+            # vol_ren -> evs -> rgb
+            out["ev_out"] = _correct_evs_dim(params, config, clamp_out)
+            out["linear"] = clamp_out
+            out["rgb"] = mapper_lib.apply_mapper(
+                config.mapping_method, params["rgb_mapper"], out["linear"]
+            )
+        elif config.map_mode == "co_map":
+            #             /---> rgb_mapper ---> rgb
+            # NGP -> linear
+            #             \---> evs_mapper ---> evs
+            out["rgb"] = mapper_lib.apply_mapper(
+                config.mapping_method, params["rgb_mapper"], clamp_out
+            )
+            if ev_out or not train:
+                ev_linear = _correct_evs_dim(params, config, clamp_out)
+                out["linear"] = clamp_out
+                out["ev_linear"] = ev_linear
+                out["ev_out"] = mapper_lib.apply_mapper(
+                    config.evs_mapping_method, params["evs_mapper"], ev_linear
+                )
+
+    if config.rgb_loss_type == "deblur" and train and not ev_out:
+        # mean over the 4 exposure-window rays (lsenerf.py:365-370)
+        out["rgb"] = out["rgb"].reshape(-1, 4, 3).mean(axis=1)
+
+    if not train:
+        out["rgb"] = jnp.clip(out["rgb"], 0.0, 1.0)
+    else:
+        out["rgb"] = jnp.clip(out["rgb"], min=1e-5)
+    return out
+
+
+def compute_losses(
+    params: dict,
+    config: ModelConfig,
+    col_out: Optional[dict],
+    prev_out: Optional[dict],
+    next_out: Optional[dict],
+    col_batch: Optional[dict],
+    evs_batch: Optional[dict],
+) -> dict:
+    """Loss dict (reference get_loss_dict, lsenerf.py:422-439)."""
+    loss_dict = {}
+    if col_out is not None:
+        loss_dict["rgb_loss"] = loss_lib.mse_loss(col_batch["image"], col_out["rgb"])
+    if prev_out is not None:
+        ev_key = "rgb" if not config.use_mapping else "ev_out"
+        prev_in, next_in = prev_out[ev_key], next_out[ev_key]
+        evs = evs_batch["image"]
+        if prev_in.shape[-1] != 1:
+            evs = jnp.concatenate([evs] * 3, axis=-1)
+        if config.event_loss_type == "enerf_norm_loss":
+            ev_loss = loss_lib.enerf_norm_loss(
+                evs, prev_in, next_in, evs_batch["e_thresh"]
+            )
+        else:
+            ev_loss = loss_lib.log_loss(evs, prev_in, next_in)
+        loss_dict["event_loss"] = config.evs_loss_weight * ev_loss
+    return loss_dict

@@ -1,0 +1,108 @@
+"""Volume-rendering compositing over dense masked samples.
+
+The TPU-native replacement for nerfacc's `render_weight_from_density`,
+`render_visibility_from_density` and `accumulate_along_rays` (reference
+lsenerf.py:300-318, lse_grid_estimator.py:109-138): with the dense
+(n_rays, k) layout these all collapse into masked cumulative ops along the
+sample axis — exactly what XLA fuses well.
+
+Semantics mirrored from the reference pipeline:
+  - alpha-threshold culling before compositing (samples whose alpha is below
+    min(alpha_thre, mean occupancy) are treated as empty,
+    lse_grid_estimator.py:109-127)
+  - early termination once transmittance drops below early_stop_eps (:115)
+  - RGB/accumulation/depth renderers (lsenerf.py:197-199); depth is the
+    "expected" variant, weights-normalized; LinearRenderer == no background
+    blend / no clamp (lse_renderer.py:4-10)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lsenerf_tpu.cameras.rays import RaySamples
+
+
+def render_weights(
+    samples: RaySamples,
+    densities: jnp.ndarray,
+    alpha_thre: float = 0.0,
+    early_stop_eps: float = 1e-4,
+) -> jnp.ndarray:
+    """(n, k, 1) densities -> (n, k) compositing weights.
+
+    weights_i = alpha_i * prod_{j<i} (1 - alpha_j), with culled samples
+    contributing neither opacity nor transmittance loss.
+    """
+    sigma = densities[..., 0] * samples.mask
+    delta = (samples.t_ends - samples.t_starts) * samples.mask
+    sdt = sigma * delta
+    alpha = 1.0 - jnp.exp(-sdt)
+
+    if alpha_thre > 0.0:
+        cull = alpha <= alpha_thre
+        sdt = jnp.where(cull, 0.0, sdt)
+        alpha = jnp.where(cull, 0.0, alpha)
+
+    # exclusive cumulative optical depth -> transmittance BEFORE each sample
+    accum = jnp.cumsum(sdt, axis=-1)
+    trans = jnp.exp(-(accum - sdt))
+
+    if early_stop_eps > 0.0:
+        alpha = jnp.where(trans > early_stop_eps, alpha, 0.0)
+
+    return alpha * trans
+
+
+def accumulate(weights: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """(n, k) weights x (n, k, c) per-sample values -> (n, c)."""
+    return jnp.sum(weights[..., None] * values, axis=-2)
+
+
+def render_rgb(
+    weights: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    background: str = "linear",
+    accumulation: jnp.ndarray | None = None,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Weighted RGB with optional background blending.
+
+    background:
+      "linear"       raw weighted sum, no blend (LinearRenderer / training)
+      "black"/"white" blend a constant
+      "random"       blend per-ray random colors (NGP eval default)
+      "last_sample"  blend the final sample's color
+    """
+    comp = accumulate(weights, rgbs)
+    if background == "linear":
+        return comp
+    if accumulation is None:
+        accumulation = jnp.sum(weights, axis=-1, keepdims=True)
+    if background == "black":
+        bg = jnp.zeros_like(comp)
+    elif background == "white":
+        bg = jnp.ones_like(comp)
+    elif background == "last_sample":
+        bg = rgbs[:, -1, :]
+    elif background == "random":
+        assert rng is not None, "random background needs an rng key"
+        bg = jax.random.uniform(rng, comp.shape)
+    else:
+        raise ValueError(f"unknown background {background}")
+    return comp + bg * (1.0 - accumulation)
+
+
+def render_depth(
+    weights: jnp.ndarray, samples: RaySamples, eps: float = 1e-10
+) -> jnp.ndarray:
+    """Expected depth: sum(w * t_mid) / (sum(w) + eps) (DepthRenderer
+    method="expected" semantics)."""
+    t_mid = 0.5 * (samples.t_starts + samples.t_ends)
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+    return jnp.sum(weights * t_mid, axis=-1, keepdims=True) / (acc + eps)
+
+
+def render_accumulation(weights: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(weights, axis=-1, keepdims=True)

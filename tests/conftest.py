@@ -1,14 +1,16 @@
 """Test harness config: run everything on a virtual 8-device CPU mesh.
 
 This is the JAX-standard substitute for multi-accelerator hardware in CI
-(SURVEY.md section 4): XLA_FLAGS=--xla_force_host_platform_device_count=8 gives
-8 independent CPU devices so sharding/collective paths compile and execute.
-Must be set before jax is imported anywhere.
+(SURVEY.md section 4): 8 independent CPU devices so sharding/collective paths
+compile and execute.
+
+Note: this environment's sitecustomize registers an 'axon' TPU backend and
+overrides the JAX_PLATFORMS env var, so we must force the platform via
+jax.config (which wins over both) before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8

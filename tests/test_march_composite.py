@@ -1,0 +1,185 @@
+"""Tests for occupancy grid, static-shape ray marching, and compositing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsenerf_tpu.cameras.rays import RayBundle, RaySamples
+from lsenerf_tpu.ops import composite, march
+from lsenerf_tpu.ops import occupancy as occ_lib
+
+
+def make_bundle(origins, directions):
+    origins = jnp.asarray(origins, jnp.float32)
+    directions = jnp.asarray(directions, jnp.float32)
+    directions = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+    n = origins.shape[0]
+    return RayBundle(
+        origins=origins,
+        directions=directions,
+        pixel_area=jnp.ones((n, 1)),
+        camera_indices=jnp.zeros((n, 1), jnp.int32),
+    )
+
+
+SMALL_GRID = occ_lib.OccGridConfig(resolution=16, levels=2, aabb_scale=1.0)
+MARCH = march.MarchConfig(
+    render_step_size=0.02, near_plane=0.05, far_plane=100.0, cone_angle=0.004,
+    max_samples=32, max_candidates=256,
+)
+
+
+def test_ray_aabb_intersect():
+    t0, t1 = march.ray_aabb_intersect(
+        jnp.array([[-3.0, 0.0, 0.0]]), jnp.array([[1.0, 0.0, 0.0]]), 1.0
+    )
+    np.testing.assert_allclose(float(t0[0]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(float(t1[0]), 4.0, atol=1e-5)
+    # miss
+    t0, t1 = march.ray_aabb_intersect(
+        jnp.array([[-3.0, 5.0, 0.0]]), jnp.array([[1.0, 0.0, 0.0]]), 1.0
+    )
+    assert float(t0[0]) > float(t1[0])
+
+
+def test_candidate_ts_matches_recurrence():
+    cfg = MARCH
+    t_min = jnp.array([0.05, 1.7, 30.0])
+    got = np.asarray(march.candidate_ts(t_min, cfg))
+    for r, t0 in enumerate(np.asarray(t_min)):
+        t = float(t0)
+        for i in range(cfg.max_candidates + 1):
+            np.testing.assert_allclose(got[r, i], t, rtol=2e-4)
+            t = t + max(cfg.render_step_size, cfg.cone_angle * t)
+
+
+def test_candidate_ts_zero_cone_uniform():
+    cfg = march.MarchConfig(render_step_size=0.1, cone_angle=0.0, max_candidates=16)
+    got = np.asarray(march.candidate_ts(jnp.array([1.0]), cfg))[0]
+    np.testing.assert_allclose(got, 1.0 + 0.1 * np.arange(17), atol=1e-5)
+
+
+def test_march_full_grid_contiguous_from_entry():
+    state = occ_lib.init_occ_grid(SMALL_GRID)  # fully occupied
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+    s = march.march_rays(bundle, state, SMALL_GRID, MARCH)
+    m = np.asarray(s.mask[0])
+    assert m.sum() == MARCH.max_samples  # plenty of occupied space
+    # contiguous intervals starting at the outer aabb entry (t=1 for 2-level grid)
+    t0 = np.asarray(s.t_starts[0])
+    assert abs(t0[0] - 1.0) < 0.05
+    np.testing.assert_allclose(
+        t0[1 : m.sum()], np.asarray(s.t_ends[0])[: m.sum() - 1], atol=1e-5
+    )
+
+
+def test_march_skips_empty_space():
+    # occupy only cells near the +x boundary shell of level 0
+    state = occ_lib.init_occ_grid(SMALL_GRID)
+    occs = np.zeros(np.asarray(state.occs).shape, np.float32)
+    binaries = np.zeros_like(occs, bool)
+    binaries[0, 12:, :, :] = True  # x in [0.5, 1.0] at level 0
+    state = occ_lib.OccGridState(occs=jnp.asarray(occs), binaries=jnp.asarray(binaries))
+
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+    s = march.march_rays(bundle, state, SMALL_GRID, MARCH)
+    m = np.asarray(s.mask[0])
+    assert m.sum() > 0
+    mids = 0.5 * (np.asarray(s.t_starts[0]) + np.asarray(s.t_ends[0]))
+    xs = -3.0 + mids[m.astype(bool)]
+    # all kept samples lie in the occupied slab (level-0 region [-1,1]: x>=0.5)
+    assert (xs >= 0.45).all() and (xs <= 1.05).all()
+
+
+def test_march_position_gradients_flow_to_origins():
+    state = occ_lib.init_occ_grid(SMALL_GRID)
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+
+    def f(origins):
+        b = bundle.replace(origins=origins)
+        s = march.march_rays(b, state, SMALL_GRID, MARCH)
+        return jnp.sum(s.positions * s.mask[..., None])
+
+    g = jax.grad(f)(bundle.origins)
+    assert float(jnp.abs(g).max()) > 0  # positions differentiable w.r.t. origins
+
+
+def test_weights_analytic_constant_density():
+    """Uniform density sigma over [0, L]: total weight = 1 - exp(-sigma*L)."""
+    k = 32
+    t = jnp.linspace(0.0, 1.0, k + 1)
+    samples = RaySamples(
+        positions=jnp.zeros((1, k, 3)),
+        directions=jnp.zeros((1, k, 3)),
+        t_starts=t[None, :-1],
+        t_ends=t[None, 1:],
+        mask=jnp.ones((1, k), bool),
+    )
+    sigma = 3.0
+    w = composite.render_weights(
+        samples, jnp.full((1, k, 1), sigma), alpha_thre=0.0, early_stop_eps=0.0
+    )
+    np.testing.assert_allclose(float(w.sum()), 1 - np.exp(-sigma), atol=1e-5)
+    # first weight = alpha of first interval
+    np.testing.assert_allclose(
+        float(w[0, 0]), 1 - np.exp(-sigma / k), atol=1e-6
+    )
+
+
+def test_weights_masked_samples_ignored():
+    k = 8
+    t = jnp.linspace(0.0, 1.0, k + 1)
+    mask = jnp.array([[True] * 4 + [False] * 4])
+    samples = RaySamples(
+        positions=jnp.zeros((1, k, 3)),
+        directions=jnp.zeros((1, k, 3)),
+        t_starts=t[None, :-1],
+        t_ends=t[None, 1:],
+        mask=mask,
+    )
+    w = composite.render_weights(samples, jnp.full((1, k, 1), 100.0), 0.0, 0.0)
+    assert float(jnp.abs(w[0, 4:]).max()) == 0.0
+
+
+def test_render_rgb_backgrounds():
+    w = jnp.array([[0.5, 0.0]])
+    rgbs = jnp.array([[[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]])
+    lin = composite.render_rgb(w, rgbs, "linear")
+    np.testing.assert_allclose(np.asarray(lin), [[0.5, 0.0, 0.0]], atol=1e-6)
+    white = composite.render_rgb(w, rgbs, "white")
+    np.testing.assert_allclose(np.asarray(white), [[1.0, 0.5, 0.5]], atol=1e-6)
+    last = composite.render_rgb(w, rgbs, "last_sample")
+    np.testing.assert_allclose(np.asarray(last), [[0.5, 0.0, 0.5]], atol=1e-6)
+
+
+def test_occupancy_lookup_levels():
+    cfg = SMALL_GRID
+    state = occ_lib.init_occ_grid(cfg)
+    # point inside base aabb -> level 0; point outside -> level 1
+    lv = occ_lib.level_of_positions(jnp.array([[0.5, 0, 0], [1.5, 0, 0]]), cfg)
+    np.testing.assert_array_equal(np.asarray(lv), [0, 1])
+
+
+def test_occupancy_updates_binarize_and_ema():
+    cfg = occ_lib.OccGridConfig(resolution=8, levels=1, aabb_scale=1.0)
+    state = occ_lib.init_occ_grid(cfg)
+    # full update: one hot cell
+    dens = np.zeros((1, 8 * 8 * 8), np.float32)
+    dens[0, 100] = 10.0
+    state = occ_lib.full_update(state, jnp.asarray(dens), cfg)
+    b = np.asarray(state.binaries).reshape(-1)
+    assert b[100] and b.sum() == 1
+    # sampled update decays and refreshes
+    cell_ids = jnp.asarray([[100]])
+    state2 = occ_lib.sampled_update(state, cell_ids, jnp.asarray([[0.0]]), cfg)
+    occ_after = float(np.asarray(state2.occs).reshape(-1)[100])
+    np.testing.assert_allclose(occ_after, 10.0 * cfg.ema_decay, rtol=1e-5)
+
+
+def test_sample_update_positions_in_bounds():
+    cfg = occ_lib.OccGridConfig(resolution=8, levels=2, aabb_scale=1.0)
+    ids, pos = occ_lib.sample_update_positions(jax.random.PRNGKey(0), cfg, 64)
+    assert ids.shape == (2, 64) and pos.shape == (2, 64, 3)
+    p = np.asarray(pos)
+    assert np.abs(p[0]).max() <= 1.0 and np.abs(p[1]).max() <= 2.0
+    assert np.abs(p[1]).max() > 1.0  # level 1 actually uses the bigger box

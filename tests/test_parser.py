@@ -1,0 +1,152 @@
+"""Round-trip tests for the on-disk LSENeRF-formatter parser using generated
+fixtures in the exact reference layout."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy.spatial.transform import Rotation
+
+from lsenerf_tpu.data.parser import ParserConfig, SceneParser, cv_to_working
+
+
+def make_scene_dir(tmp, n=6, h=12, w=16, with_prevnext=False, with_relcam=True):
+    rng = np.random.default_rng(0)
+    rots = Rotation.random(n, random_state=0).as_matrix()
+    positions = rng.normal(size=(n, 3))
+
+    def write_cam_dir(cam_dir, jitter=0.0):
+        os.makedirs(cam_dir, exist_ok=True)
+        for i in range(n):
+            data = {
+                "orientation": rots[i].tolist(),
+                "position": (positions[i] + jitter).tolist(),
+                "focal_length": 50.0,
+                "principal_point": [w / 2, h / 2],
+                "image_size": [w, h],
+                "radial_distortion": [0.01, -0.002, 0.0],
+                "tangential_distortion": [0.001, 0.0],
+                "t": float(i * 1000),
+            }
+            with open(osp.join(cam_dir, f"{i:06d}.json"), "w") as f:
+                json.dump(data, f)
+
+    col = osp.join(tmp, "colcam_set")
+    evs = osp.join(tmp, "ecam_set")
+    write_cam_dir(osp.join(col, "camera"))
+    write_cam_dir(osp.join(evs, "camera"), jitter=0.01)
+    if with_prevnext:
+        write_cam_dir(osp.join(evs, "prev_camera"), jitter=0.01)
+        write_cam_dir(osp.join(evs, "next_camera"), jitter=0.02)
+
+    os.makedirs(osp.join(col, "rgb", "1x"))
+    imgs = (rng.uniform(size=(n, h, w, 3)) * 255).astype(np.uint8)
+    for i in range(n):
+        Image.fromarray(imgs[i]).save(osp.join(col, "rgb", "1x", f"{i:06d}.png"))
+
+    meta = {str(i): {"appearance_id": i} for i in range(n)}
+    if with_relcam:
+        meta["colmap_scale"] = 0.5
+    for d in (col, evs):
+        with open(osp.join(d, "metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    with open(osp.join(col, "dataset.json"), "w") as f:
+        json.dump(
+            {"train_ids": [0, 1, 2, 3], "val_ids": [4], "half_train_ids": [0, 2]}, f
+        )
+    with open(osp.join(evs, "dataset.json"), "w") as f:
+        json.dump({"train_ids": list(range(n - 1))}, f)
+    with open(osp.join(evs, "scene.json"), "w") as f:
+        json.dump({"e_thresh": 0.25}, f)
+
+    os.makedirs(osp.join(evs, "eimgs"))
+    eimgs = rng.integers(-5, 5, size=(n - 1, h, w)).astype(np.int16)
+    np.save(osp.join(evs, "eimgs", "eimgs_1x.npy"), eimgs)
+
+    if with_relcam:
+        rel = {
+            "R": Rotation.random(random_state=9).as_matrix().tolist(),
+            "T": [0.1, 0.02, -0.05],
+        }
+        with open(osp.join(tmp, "rel_cam.json"), "w") as f:
+            json.dump(rel, f)
+    return tmp, imgs, eimgs
+
+
+def test_cv_to_working_roundtrip():
+    R = Rotation.random(random_state=0).as_matrix()
+    t = np.array([0.5, -0.2, 1.0])
+    w2c = np.eye(4)
+    w2c[:3, :3] = R
+    w2c[:3, 3] = t
+    c2w = cv_to_working(w2c)
+    # camera center: -R^T t, preserved
+    np.testing.assert_allclose(c2w[:3, 3], -R.T @ t, atol=1e-8)
+    # gl c2w rotation columns: [right, -up, -forward] transposed of cv rows
+    np.testing.assert_allclose(c2w[:3, :3], np.stack([R[0], -R[1], -R[2]]).T, atol=1e-8)
+
+
+def test_parse_color_train(tmp_path):
+    root, imgs, _ = make_scene_dir(str(tmp_path))
+    parser = SceneParser(root, ParserConfig(scale_factor=2.0))
+    ds = parser.parse_color("train")
+    # train_ids [0,1,2,3], all < n_imgs-1=5
+    assert len(ds) == 4
+    assert ds.cameras.width == 16 and ds.cameras.height == 12
+    np.testing.assert_allclose(
+        ds.images[1], imgs[1].astype(np.float32) / 255.0, atol=1e-6
+    )
+    np.testing.assert_array_equal(ds.appearance_ids, [0, 1, 2, 3])
+    assert ds.cameras.distortion_params is not None
+    assert ds.dM is not None and ds.dM.shape == (4, 4)
+    # scale_factor applied to translations
+    p0 = np.asarray(ds.cameras.camera_to_worlds)[0, :3, 3]
+    parser1 = SceneParser(root, ParserConfig(scale_factor=1.0))
+    p0_unscaled = np.asarray(
+        parser1.parse_color("train").cameras.camera_to_worlds
+    )[0, :3, 3]
+    np.testing.assert_allclose(p0, 2.0 * p0_unscaled, atol=1e-6)
+
+
+def test_parse_color_eval_split_swap(tmp_path):
+    root, _, _ = make_scene_dir(str(tmp_path))
+    parser = SceneParser(root)
+    # eval-mode training uses half_train_ids when present
+    ds = parser.parse_color("train", is_eval=True)
+    np.testing.assert_array_equal(ds.data_idxs, [0, 2])
+    # val split
+    ds_val = parser.parse_color("val")
+    np.testing.assert_array_equal(ds_val.data_idxs, [4])
+
+
+def test_parse_events(tmp_path):
+    root, _, eimgs = make_scene_dir(str(tmp_path))
+    parser = SceneParser(root)
+    ds = parser.parse_events()
+    assert ds.e_thresh == 0.25
+    assert ds.eimgs.shape == (5, 12, 16, 1)
+    v = ds.get_scaled((np.array([0]), np.array([3]), np.array([5])))
+    np.testing.assert_allclose(v, eimgs[0, 3, 5] * 0.25, atol=1e-6)
+    assert ds.prev_cameras is None
+    # e_thresh override
+    ds2 = SceneParser(root, ParserConfig(e_thresh=0.5)).parse_events()
+    assert ds2.e_thresh == 0.5
+
+
+def test_parse_events_prevnext(tmp_path):
+    root, _, _ = make_scene_dir(str(tmp_path), with_prevnext=True)
+    ds = SceneParser(root).parse_events()
+    assert ds.prev_cameras is not None and ds.next_cameras is not None
+    assert len(ds.prev_cameras) == 5  # train_ids 0..4
+
+
+def test_color_train_ts_and_max_app(tmp_path):
+    root, _, _ = make_scene_dir(str(tmp_path))
+    parser = SceneParser(root)
+    ts = parser.color_train_ts()
+    np.testing.assert_allclose(ts, [0.0, 1000.0, 2000.0, 3000.0])
+    assert parser.max_appearance_id() == 6

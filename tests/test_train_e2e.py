@@ -1,0 +1,137 @@
+"""End-to-end training on the synthetic sphere scene (BASELINE config #1/#2).
+
+The convergence bar the reference has no equivalent of (SURVEY.md section 4):
+a tiny RGB-only run must climb in PSNR, and the event-supervised run must
+reduce the event loss, on CPU, in minutes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+from lsenerf_tpu.data.synthetic import make_synthetic_scene
+from lsenerf_tpu.engine import renderer
+from lsenerf_tpu.engine.trainer import (
+    CameraOptConfig,
+    Trainer,
+    TrainerConfig,
+    OptimizerGroupConfig,
+)
+from lsenerf_tpu.models import embeddings as emb_lib
+from lsenerf_tpu.models import field as field_lib
+from lsenerf_tpu.models import lsenerf as model_lib
+from lsenerf_tpu.ops import hash_encoding as he
+from lsenerf_tpu.ops import occupancy as occ_lib
+
+
+def tiny_model_config(**kw):
+    return model_lib.ModelConfig(
+        field=field_lib.FieldConfig(
+            hash=he.HashEncodingConfig(
+                num_levels=8, log2_hashmap_size=13, base_res=8, max_res=128
+            ),
+            use_contraction=False,
+            aabb_scale=1.0,
+            appearance_embedding_dim=8,
+            embedding=emb_lib.EmbeddingConfig(emb_dim=8),
+        ),
+        grid=occ_lib.OccGridConfig(
+            resolution=32, levels=1, aabb_scale=1.0, update_interval=8
+        ),
+        max_samples=32,
+        max_candidates=128,
+        near_plane=0.05,
+        far_plane=5.0,
+        cone_angle=0.0,
+        render_step_size=0.05,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene(n_cams=10, h=40, w=40, focal=50.0)
+
+
+def run_short_training(scene, model_cfg, trainer_cfg, dm_cfg, steps=150):
+    col, evs = scene
+    dm = MultiCamDataManager(
+        dm_cfg, col, evs if dm_cfg.train_num_evs_rays_per_batch > 0 else None
+    )
+    trainer = Trainer(trainer_cfg, model_cfg, dm)
+    state = trainer.setup(jax.random.PRNGKey(0))
+    history = []
+    state, metrics = trainer.train(
+        state, num_steps=steps, log_every=50,
+        callback=lambda s, m: history.append(m),
+    )
+    return trainer, state, history, metrics
+
+
+def test_rgb_only_training_converges(scene):
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=512, rgb_frac=1.0)
+    tr_cfg = TrainerConfig(
+        fields_optimizer=OptimizerGroupConfig(lr=1e-2, lr_final=1e-3, max_steps=2000),
+    )
+    trainer, state, history, metrics = run_short_training(
+        scene, tiny_model_config(), tr_cfg, dm_cfg, steps=200
+    )
+    first_psnr, last_psnr = history[0]["psnr"], float(metrics["psnr"])
+    assert last_psnr > first_psnr + 3, f"PSNR {first_psnr} -> {last_psnr}"
+    assert last_psnr > 14
+
+    # eval render of a full view
+    col, _ = scene
+    out = renderer.render_image(
+        state.params["model"], col.cameras, 0, state.occ,
+        trainer.model_config, appearance_id=0, chunk=800,
+    )
+    assert out["rgb"].shape == (40, 40, 3)
+    gt = col.images[0]
+    mse = float(np.mean((out["rgb"] - gt) ** 2))
+    assert -10 * np.log10(mse) > 12
+
+
+def test_event_supervised_training(scene):
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=512, rgb_frac=0.5)
+    tr_cfg = TrainerConfig(
+        fields_optimizer=OptimizerGroupConfig(lr=1e-2, lr_final=1e-3, max_steps=2000),
+    )
+    cfg = tiny_model_config(ev_one_dim="gt")
+    trainer, state, history, metrics = run_short_training(
+        scene, cfg, tr_cfg, dm_cfg, steps=150
+    )
+    assert "event_loss" in metrics
+    first_ev, last_ev = history[0]["event_loss"], float(metrics["event_loss"])
+    assert last_ev < first_ev * 0.7, f"event loss {first_ev} -> {last_ev}"
+    assert float(metrics["psnr"]) > history[0]["psnr"]
+
+
+def test_camera_opt_params_update(scene):
+    """SO3xR3 camera optimization: pose params move and nothing NaNs."""
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=256, rgb_frac=1.0)
+    tr_cfg = TrainerConfig(
+        col_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="ns"),
+    )
+    trainer, state, history, metrics = run_short_training(
+        scene, tiny_model_config(), tr_cfg, dm_cfg, steps=30
+    )
+    deltas = state.params["camera_opt"]["col"]["pose_adjustment"]
+    assert float(jnp.abs(deltas).max()) > 0
+    assert bool(jnp.all(jnp.isfinite(deltas)))
+
+
+def test_delayed_camera_opt_stays_zero(scene):
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=256, rgb_frac=1.0)
+    tr_cfg = TrainerConfig(
+        col_cam_opt=CameraOptConfig(
+            mode="SO3xR3", optim_type="ns", scheme="delayed", delay_cnt=1000
+        ),
+    )
+    trainer, state, history, metrics = run_short_training(
+        scene, tiny_model_config(), tr_cfg, dm_cfg, steps=20
+    )
+    deltas = state.params["camera_opt"]["col"]["pose_adjustment"]
+    assert float(jnp.abs(deltas).max()) == 0.0  # gate blocks grads before delay_cnt
