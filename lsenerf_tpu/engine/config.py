@@ -182,22 +182,23 @@ class ExperimentConfig:
 
 
 def _walk_fields(cls, prefix=""):
+    import typing
+
+    hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
         name = f"{prefix}{f.name}"
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            yield from _walk_fields(f.type, prefix=f"{name}.")
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            yield from _walk_fields(ftype, prefix=f"{name}.")
         else:
-            yield name, f
+            yield name, ftype
 
 
 def add_config_args(parser: argparse.ArgumentParser, cls=ExperimentConfig):
-    for dotted, f in _walk_fields(cls):
+    for dotted, ftype in _walk_fields(cls):
         flag = "--" + dotted
         alt = "--" + dotted.replace("_", "-")
         names = [flag] if flag == alt else [flag, alt]
-        ftype = f.type
         if ftype is bool or ftype == "bool":
             parser.add_argument(*names, dest=dotted, type=_parse_bool, default=None)
         elif ftype in (int, "int"):
@@ -249,13 +250,17 @@ def to_dict(config) -> dict:
 
 
 def from_dict(cls, d: dict):
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-            kwargs[f.name] = from_dict(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            kwargs[f.name] = from_dict(ftype, v)
         else:
             kwargs[f.name] = v
     return cls(**kwargs)

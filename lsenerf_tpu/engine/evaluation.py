@@ -1,0 +1,205 @@
+"""Full-dataset eval: per-image metrics, qualitative maps, artifact writing.
+
+Capability parity with reference lse_pipeline.get_average_eval_image_metrics
+(:185-233) + LSENeRFModel.get_image_metrics_and_images (lsenerf.py:478-530):
+chunked full-image renders with the trained camera optimizer applied
+(lse_loaders.py:20-27), PSNR/SSIM/LPIPS, mask handling, depth/accumulation
+colormaps, signed error map, Canny edge-alignment overlay, rays/sec + fps
+timing, events-only rescaled metrics (lse_pipeline.py:149-164), and the
+eval_metrics/eval_mean JSON + PNG artifacts.
+"""
+
+from __future__ import annotations
+
+from time import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsenerf_tpu.cameras import pose_opt
+from lsenerf_tpu.engine import renderer
+from lsenerf_tpu.engine.writer import LSEWriter, write_git_hash_txt
+from lsenerf_tpu.ops import image as image_ops
+from lsenerf_tpu.ops import metrics as metric_ops
+
+
+def apply_depth_colormap(depth: np.ndarray, accumulation: np.ndarray) -> np.ndarray:
+    """Inverted grayscale depth modulated by accumulation (reference uses
+    colormaps.apply_depth_colormap(colormap='gray', invert=True),
+    lsenerf.py:487-491)."""
+    d = depth[..., 0]
+    lo, hi = np.percentile(d, 1), np.percentile(d, 99)
+    norm = np.clip((d - lo) / max(hi - lo, 1e-8), 0, 1)
+    g = 1.0 - norm
+    g = g * accumulation[..., 0]
+    return np.repeat(g[..., None], 3, axis=-1)
+
+
+def apply_colormap(x: np.ndarray) -> np.ndarray:
+    """Viridis-ish colormap for accumulation (colormaps.apply_colormap)."""
+    import matplotlib
+
+    cmap = matplotlib.colormaps["viridis"]
+    return cmap(np.clip(x[..., 0], 0, 1))[..., :3]
+
+
+def make_overlay(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """Canny edge alignment overlay: GT edges red, predicted edges blue
+    (reference lsenerf.py:462-475). cv2 host-side, eval-only."""
+    import cv2
+
+    to_u8 = lambda im: np.clip(
+        (im @ np.array([0.2989, 0.5870, 0.1140])) * 255, 0, 255
+    ).astype(np.uint8)
+    gt_e = cv2.Canny(to_u8(gt), 50, 200)
+    pr_e = cv2.Canny(to_u8(pred), 50, 200)
+    gt_cond, pr_cond = gt_e != 0, pr_e != 0
+    overlay = np.ones((*gt.shape[:2], 3), np.uint8) * 255
+    overlay[gt_cond | pr_cond] = 0
+    overlay[gt_cond, 0] = 255
+    overlay[pr_cond, 2] = 255
+    return overlay / 255.0
+
+
+def image_metrics_and_images(
+    gt: np.ndarray,
+    outputs: dict,
+    msk: Optional[np.ndarray] = None,
+    lpips: Optional[metric_ops.LPIPSMetric] = None,
+) -> tuple:
+    """(metrics dict, images dict) for one eval view (lsenerf.py:478-530)."""
+    pred = outputs["rgb"]
+    ori_pred = pred
+    if msk is not None:
+        m = msk[..., None] if msk.ndim == 2 else msk
+        gt = gt * m
+        pred = pred * m
+
+    acc = apply_colormap(outputs["accumulation"])
+    depth = apply_depth_colormap(outputs["depth"], outputs["accumulation"])
+    err_map = np.asarray(image_ops.make_error_map(jnp.asarray(gt), jnp.asarray(pred)))
+    overlay = make_overlay(gt, pred)
+
+    psnr = float(metric_ops.psnr(jnp.asarray(gt), jnp.asarray(pred)))
+    ssim = float(metric_ops.ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    lp = lpips(gt, pred) if lpips is not None else float("nan")
+
+    metrics = {"psnr": psnr, "ssim": ssim, "lpips": lp}
+    images = {
+        "img": np.concatenate([gt, ori_pred], axis=1),
+        "accumulation": acc,
+        "depth": depth,
+        "err_map": err_map,
+        "overlay": overlay,
+    }
+    if "ev_out" in outputs:
+        images["ev_out"] = outputs["ev_out"]
+    if "linear" in outputs:
+        images["linear"] = outputs["linear"]
+    return metrics, images
+
+
+def evs_only_metrics(metrics: dict, gt: np.ndarray, pred: np.ndarray):
+    """Events-only eval: drop blue channel, log-affine rescale to GT gray
+    (reference lse_pipeline.update_evs_only_metric, :149-164)."""
+    pred = pred.copy()
+    pred[..., -1] = 0
+    gray_gt = np.asarray(image_ops.to_gray(jnp.asarray(gt)))
+    gray_pred = pred.sum(axis=-1, keepdims=True)
+    corr = np.asarray(
+        image_ops.correct_img_scale(jnp.asarray(gray_gt), jnp.asarray(gray_pred))
+    )
+    corr3 = np.repeat(corr, 3, axis=-1)
+    gt3 = np.repeat(gray_gt, 3, axis=-1)
+    metrics = dict(metrics)
+    metrics["psnr"] = float(metric_ops.psnr(jnp.asarray(gt3), jnp.asarray(corr3)))
+    metrics["ssim"] = float(metric_ops.ssim(jnp.asarray(gt3), jnp.asarray(corr3)))
+    return metrics, gt3, corr3
+
+
+def eval_cam_correction(trainer, state, cam_idx: int):
+    """Per-view c2w override applying the trained eval camera optimizer
+    (LSEFixedIndicesEvalDataloader semantics, lse_loaders.py:20-27):
+    pose deltas folded into ray generation."""
+    cfg = trainer.config.col_cam_opt
+    cam_params = state.params["camera_opt"].get("col", {})
+    if cfg.mode == "off" or not cam_params:
+        return None
+    if cfg.optim_type == "spline":
+        return None  # spline already supplies poses at train time
+    corr = pose_opt.pose_correction(
+        cam_params, jnp.asarray([cam_idx]), jnp.float32(1.0), cfg.mode
+    )[0]
+    return corr  # (3,4) applied by the renderer per-ray
+
+
+def average_eval_metrics(
+    trainer,
+    state,
+    eval_dataset,
+    log_dir: str,
+    chunk: int = 4096,
+    apply_cam_opt: bool = False,
+    lpips_weights: Optional[str] = None,
+    evs_only: bool = False,
+) -> dict:
+    """Loop all eval views; write artifacts; return per-key means
+    (reference lse_pipeline.py:185-233)."""
+    write_git_hash_txt(log_dir)
+    writer = LSEWriter(log_dir)
+    lpips = metric_ops.LPIPSMetric(lpips_weights)
+
+    cams = eval_dataset.cameras
+    metrics_list = []
+    last_outputs = None
+    for idx in range(len(eval_dataset)):
+        t0 = time()
+        correction = eval_cam_correction(trainer, state, idx) if apply_cam_opt else None
+        c2w = None
+        if correction is not None:
+            from lsenerf_tpu.ops import lie
+
+            base = cams.camera_to_worlds[idx]
+            # apply correction the same way apply_to_raybundle does:
+            # origins += t, dirs = R @ dirs == compose on the rotation side
+            R = lie.mm(correction[:3, :3], base[:3, :3])
+            t = base[:3, 3] + correction[:3, 3]
+            c2w = jnp.concatenate([R, t[:, None]], axis=1)
+        outputs = renderer.render_image(
+            state.params["model"], cams, idx, state.occ, trainer.model_config,
+            appearance_id=int(eval_dataset.appearance_ids[idx]),
+            chunk=chunk, c2w_override=c2w,
+        )
+        h, w = outputs["rgb"].shape[:2]
+        gt = eval_dataset.images[idx]
+        msk = None
+        if eval_dataset.msk is not None:
+            msk = eval_dataset.msk if eval_dataset.msk.ndim == 2 else eval_dataset.msk[idx]
+        metrics, images = image_metrics_and_images(gt, outputs, msk, lpips)
+        if evs_only:
+            metrics, gt3, corr = evs_only_metrics(metrics, gt, outputs["rgb"])
+            images["img"] = np.concatenate([gt3, corr], axis=1)
+        dt = time() - t0
+        metrics["num_rays_per_sec"] = h * w / dt
+        metrics["fps"] = metrics["num_rays_per_sec"] / (h * w)
+        metrics_list.append(metrics)
+        writer.log_images(images)
+        last_outputs = outputs
+
+    # mapper response curves (lse_pipeline.py:223, lse_writer.py:80-112)
+    mp = state.params["model"]
+    mcfg = trainer.model_config
+    if "rgb_mapper" in mp:
+        writer.plt_mapper(
+            mcfg.mapping_method, mp["rgb_mapper"], "rgb",
+            linear_img=None if last_outputs is None else last_outputs.get("linear"),
+        )
+    if "evs_mapper" in mp:
+        writer.plt_mapper(
+            mcfg.evs_mapping_method, mp["evs_mapper"], "evs",
+            linear_img=None if last_outputs is None else last_outputs.get("ev_linear"),
+            gt_fn=None,
+        )
+    return writer.log_metrics(metrics_list)

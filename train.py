@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Train / eval entry point for LSENeRF-TPU.
+
+Capability parity with reference train.py: dotted CLI flags in the reference's
+spellings, eval-mode config surgery (--is_eval / --do_pretrain / --is_render
+with --load-dir/--load-config), config YAML save, checkpoint cadence, periodic
+eval, seed handling. The distributed story differs by design: instead of
+mp.spawn + NCCL process groups (reference train.py:114-234), a single process
+drives all local devices through a jax.sharding mesh; multi-host runs call
+jax.distributed.initialize() (--machine.num-devices>1 activates the mesh).
+
+Examples:
+    python train.py lsenerf --data <scene_dir> --max-num-iterations 30000
+    python train.py lsenerf --data synthetic --pipeline.datamanager.rgb_frac 0.66
+    python train.py lsenerf --is_eval True --load-dir <run>/checkpoints \
+        --load-config <run>/config.yml
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import os.path as osp
+import sys
+
+
+def build_datasets(config, parser_cfg):
+    """--data selects a real scene dir (LSENeRF-formatter layout) or the
+    built-in synthetic sphere scene ('synthetic')."""
+    data = config.data or config.pipeline.datamanager.data
+    if not data or str(data).startswith("synthetic"):
+        from lsenerf_tpu.data.synthetic import make_synthetic_scene
+
+        col, evs = make_synthetic_scene(n_cams=12, h=64, w=64, focal=60.0)
+        return col, evs, col, None
+    from lsenerf_tpu.data.parser import SceneParser
+
+    sp = SceneParser(str(data), parser_cfg)
+    col = sp.parse_color(
+        "train", is_eval=config.is_eval, do_pretrain=config.do_pretrain
+    )
+    evs = sp.parse_events() if config.pipeline.datamanager.rgb_frac < 1 else None
+    eval_ds = sp.parse_color("val")
+    return col, evs, eval_ds, sp
+
+
+def main(argv=None):
+    from lsenerf_tpu.engine import config as config_lib
+
+    config = config_lib.parse_cli(argv)
+    config.timestamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    config = config_lib.modify_config(config)
+
+    if config.data and not config.experiment_name or config.experiment_name == "unnamed":
+        config.experiment_name = osp.basename(str(config.data).rstrip("/")) or "synthetic"
+
+    base_dir = config.base_dir()
+    os.makedirs(base_dir, exist_ok=True)
+    config_lib.save_config(config, osp.join(base_dir, "config.yml"))
+    print(f"[lsenerf-tpu] run dir: {base_dir}")
+
+    import jax
+
+    from lsenerf_tpu.data.datamanager import MultiCamDataManager
+    from lsenerf_tpu.engine import checkpoints as ckpt_lib
+    from lsenerf_tpu.engine import evaluation
+    from lsenerf_tpu.engine.trainer import Trainer
+    from lsenerf_tpu.engine.writer import ScalarLogger, get_git_hash
+
+    trainer_cfg, model_cfg, dm_cfg, parser_cfg = config_lib.build_runtime_configs(
+        config
+    )
+    col, evs, eval_ds, _ = build_datasets(config, parser_cfg)
+    dm = MultiCamDataManager(dm_cfg, col, evs, seed=config.machine.seed)
+
+    trainer = Trainer(trainer_cfg, model_cfg, dm, eval_dataset=eval_ds)
+    state = trainer.setup(jax.random.PRNGKey(config.machine.seed))
+
+    # checkpoint restore (reference _load_checkpoint, lse_trainer.py:85-122)
+    if config.load_dir or config.load_checkpoint:
+        load_dir = str(config.load_dir or osp.dirname(config.load_checkpoint))
+        step = None if config.load_step < 0 else config.load_step
+        loaded_step, params, occ = ckpt_lib.load_checkpoint(
+            load_dir, step=step, strip_cameras=config.is_eval and not config.do_pretrain
+        )
+        state = ckpt_lib.restore_into_state(state, params, occ, loaded_step)
+        print(f"[lsenerf-tpu] restored checkpoint step {loaded_step}")
+
+    if config.do_pretrain:
+        # emb_eval stage 1: seed the test embedding (lse_trainer.py:40-44)
+        from lsenerf_tpu.models import embeddings as emb_lib
+
+        field_params = state.params["model"]["field"]
+        if "appearance" in field_params:
+            field_params = dict(field_params)
+            field_params["appearance"] = emb_lib.init_test_params(
+                field_params["appearance"], model_cfg.field.embedding
+            )
+            model_params = dict(state.params["model"], field=field_params)
+            state = state.replace(
+                params=dict(state.params, model=model_params)
+            )
+            # re-init optimizer for the new param structure
+            from lsenerf_tpu.engine.trainer import build_optimizer
+
+            trainer._tx = build_optimizer(trainer_cfg, state.params)
+            state = state.replace(opt_state=trainer._tx.init(state.params))
+            trainer._train_step = trainer.make_train_step()
+
+    logger = ScalarLogger(base_dir)
+    logger.log(0, {"commit": 0.0})
+    print(f"[lsenerf-tpu] git {get_git_hash()[:12]}, devices {jax.devices()}")
+
+    ckpt_dir = osp.join(base_dir, "checkpoints")
+    start = int(state.step)
+    import jax.numpy as jnp
+
+    for it in range(start, config.max_num_iterations):
+        if it % model_cfg.grid.update_interval == 0 and not config.is_render:
+            state = trainer._occ_update(state)
+        batch = {k: jnp.asarray(v) for k, v in dm.next_train(it).items()}
+        state, metrics = trainer._train_step(state, batch)
+
+        if it % 100 == 0:
+            scal = {k: float(v) for k, v in metrics.items()}
+            logger.log(it, scal)
+            if it % 1000 == 0:
+                print(f"step {it}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
+        if (it + 1) % config.steps_per_save == 0:
+            ckpt_lib.save_checkpoint(
+                ckpt_dir, it, state.params, state.occ
+            )
+        if (it + 1) % config.steps_per_eval_all_images == 0 and eval_ds is not None:
+            means = evaluation.average_eval_metrics(
+                trainer, state, eval_ds, base_dir,
+                chunk=config.pipeline.model.eval_num_rays_per_chunk,
+                apply_cam_opt=config.is_eval,
+                evs_only=(config.pipeline.datamanager.rgb_frac == 0),
+            )
+            print(f"[eval @ {it}] " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+
+    ckpt_lib.save_checkpoint(ckpt_dir, config.max_num_iterations - 1, state.params, state.occ)
+    logger.close()
+    print("[lsenerf-tpu] done")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
