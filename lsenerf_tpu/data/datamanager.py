@@ -60,11 +60,15 @@ class MultiCamDataManager:
         col_dataset: Optional[ColorDataset],
         evs_dataset: Optional[EventFrameDataset] = None,
         seed: int = 0,
+        use_native: bool = False,
     ):
         self.config = config
         self.col = col_dataset
         self.evs = evs_dataset
         self.rng = np.random.default_rng(seed)
+        self.native = None
+        if use_native:
+            self.native = self._build_native(seed)
         self.num_embd = 1
         ids = []
         if col_dataset is not None:
@@ -73,6 +77,38 @@ class MultiCamDataManager:
             ids.append(int(evs_dataset.appearance_ids.max()))
         if ids:
             self.num_embd = max(ids) + 1
+
+    def _build_native(self, seed: int):
+        """Optional C++ double-buffered prefetcher backend
+        (native/fastloader.cpp): assembles batch k+1 while step k runs."""
+        from lsenerf_tpu.data import native_loader as nl
+
+        if not nl.native_available():
+            return None
+        col_u8 = None
+        n_col = self.config.train_num_col_rays_per_batch
+        if self.col is not None and n_col > 0:
+            col_u8 = np.ascontiguousarray(
+                np.clip(self.col.images * 255, 0, 255).astype(np.uint8)
+            )
+        evs_f32 = None
+        n_evs = self.config.train_num_evs_rays_per_batch
+        img_limit = 0
+        if self.evs is not None and n_evs > 0:
+            evs_f32 = np.ascontiguousarray(self.evs.eimgs.astype(np.float32))
+            img_limit = (
+                len(evs_f32)
+                if self.evs.prev_cameras is not None
+                else min(len(evs_f32), len(self.evs.cameras) - 1)
+            )
+        if col_u8 is None and evs_f32 is None:
+            return None
+        return nl.NativePrefetcher(
+            col_u8, n_col if col_u8 is not None else 0,
+            evs_f32, n_evs if evs_f32 is not None else 0,
+            img_limit, self.evs.e_thresh if self.evs is not None else 1.0,
+            seed=seed,
+        )
 
     # -- pixel sampling ------------------------------------------------------
 
@@ -90,6 +126,8 @@ class MultiCamDataManager:
           evs_indices (m,3), evs_values (m,1) e_thresh-scaled, evs_app_id (m,),
           e_thresh (m,1)
         """
+        if self.native is not None:
+            return self._next_train_native()
         batch = {}
         n_col = self.config.train_num_col_rays_per_batch
         if n_col > 0 and self.col is not None:
@@ -111,6 +149,21 @@ class MultiCamDataManager:
             batch["evs_indices"] = np.stack([c, y, x], axis=1)
             batch["evs_values"] = self.evs.get_scaled((c, y, x))
             batch["evs_app_id"] = self.evs.appearance_ids[c]
+            batch["e_thresh"] = np.full((n_evs, 1), self.evs.e_thresh, np.float32)
+        return batch
+
+    def _next_train_native(self) -> dict:
+        raw = self.native.next()
+        batch = {}
+        if "col_indices" in raw:
+            batch["col_indices"] = raw["col_indices"]
+            batch["col_rgb"] = raw["col_rgb"]
+            batch["col_app_id"] = self.col.appearance_ids[raw["col_indices"][:, 0]]
+        if "evs_indices" in raw:
+            batch["evs_indices"] = raw["evs_indices"]
+            batch["evs_values"] = raw["evs_values"]
+            batch["evs_app_id"] = self.evs.appearance_ids[raw["evs_indices"][:, 0]]
+            n_evs = len(raw["evs_indices"])
             batch["e_thresh"] = np.full((n_evs, 1), self.evs.e_thresh, np.float32)
         return batch
 

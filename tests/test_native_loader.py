@@ -1,0 +1,76 @@
+"""Tests for the C++ batch-assembly backend (built on demand)."""
+
+import numpy as np
+import pytest
+
+from lsenerf_tpu.data import native_loader as nl
+
+pytestmark = pytest.mark.skipif(
+    not nl.native_available(), reason="native library not built"
+)
+
+
+def test_sample_rgb_gathers_correctly():
+    imgs = (np.random.default_rng(0).uniform(size=(4, 8, 8, 3)) * 255).astype(np.uint8)
+    idx, val = nl.sample_rgb(imgs, seed=1, n_rays=64)
+    assert (idx[:, 0] < 4).all() and (idx[:, 1] < 8).all() and (idx[:, 2] < 8).all()
+    want = imgs[idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.float32) / 255
+    np.testing.assert_allclose(val, want, atol=1e-6)
+
+
+def test_sample_rgb_deterministic_per_seed():
+    imgs = np.zeros((4, 8, 8, 3), np.uint8)
+    a, _ = nl.sample_rgb(imgs, seed=7, n_rays=32)
+    b, _ = nl.sample_rgb(imgs, seed=7, n_rays=32)
+    c, _ = nl.sample_rgb(imgs, seed=8, n_rays=32)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_sample_events_scaled_and_limited():
+    ev = np.random.default_rng(1).normal(size=(6, 8, 8, 1)).astype(np.float32)
+    idx, val = nl.sample_events(ev, seed=2, n_rays=64, img_limit=3, e_thresh=0.25)
+    assert (idx[:, 0] < 3).all()  # consecutive pairing frame limit
+    np.testing.assert_allclose(
+        val, ev[idx[:, 0], idx[:, 1], idx[:, 2]] * 0.25, rtol=1e-6
+    )
+
+
+def test_prefetcher_produces_distinct_batches():
+    imgs = (np.random.default_rng(0).uniform(size=(4, 8, 8, 3)) * 255).astype(np.uint8)
+    ev = np.random.default_rng(1).normal(size=(3, 8, 8, 1)).astype(np.float32)
+    pf = nl.NativePrefetcher(imgs, 32, ev, 16, 2, 0.25, seed=7)
+    try:
+        b0, b1, b2 = pf.next(), pf.next(), pf.next()
+        assert b0["col_rgb"].shape == (32, 3)
+        assert b1["evs_values"].shape == (16, 1)
+        assert not np.array_equal(b0["col_indices"], b1["col_indices"])
+        assert not np.array_equal(b1["col_indices"], b2["col_indices"])
+        # gathered values consistent with indices
+        want = imgs[b0["col_indices"][:, 0], b0["col_indices"][:, 1],
+                    b0["col_indices"][:, 2]].astype(np.float32) / 255
+        np.testing.assert_allclose(b0["col_rgb"], want, atol=1e-6)
+    finally:
+        pf.close()
+
+
+def test_datamanager_native_backend_matches_schema():
+    from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+    from lsenerf_tpu.data.synthetic import make_synthetic_scene
+
+    col, evs = make_synthetic_scene(n_cams=6, h=16, w=16, focal=20.0)
+    cfg = DataManagerConfig(train_num_rays_per_batch=64, rgb_frac=0.5)
+    dm_np = MultiCamDataManager(cfg, col, evs, seed=0)
+    dm_nat = MultiCamDataManager(cfg, col, evs, seed=0, use_native=True)
+    assert dm_nat.native is not None
+    b_np, b_nat = dm_np.next_train(0), dm_nat.next_train(0)
+    assert set(b_np.keys()) == set(b_nat.keys())
+    for k in b_np:
+        assert b_np[k].shape == b_nat[k].shape, k
+        assert b_np[k].dtype == b_nat[k].dtype, k
+    # native event values are e_thresh-scaled like the numpy path
+    v = b_nat["evs_values"]
+    i = b_nat["evs_indices"]
+    np.testing.assert_allclose(
+        v, evs.eimgs[i[:, 0], i[:, 1], i[:, 2]] * evs.e_thresh, rtol=1e-5
+    )
