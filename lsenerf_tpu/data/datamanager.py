@@ -167,6 +167,14 @@ class MultiCamDataManager:
             batch["e_thresh"] = np.full((n_evs, 1), self.evs.e_thresh, np.float32)
         return batch
 
+    def next_train_stack(self, step: int, k: int) -> dict:
+        """k stacked batches -> dict of (k, ...) arrays, for the multi-step
+        scan train path (Trainer.make_train_step_multi)."""
+        batches = [self.next_train(step + i) for i in range(k)]
+        return {
+            key: np.stack([b[key] for b in batches]) for key in batches[0]
+        }
+
     def next_eval_image(self, idx: int, eval_dataset: Optional[ColorDataset] = None):
         """Full-image pixel grid + gt for eval rendering."""
         ds = eval_dataset if eval_dataset is not None else self.col

@@ -353,6 +353,29 @@ class Trainer:
     # -- the jitted step -----------------------------------------------------
 
     def make_train_step(self):
+        step_impl = self._build_step_impl()
+        return jax.jit(step_impl, donate_argnums=(0,))
+
+    def make_train_step_multi(self, k: int):
+        """K steps per device call via lax.scan over stacked batches.
+
+        Amortizes per-call dispatch/transfer latency (important when the chip
+        sits behind a network tunnel; harmless locally). Batches are dicts of
+        (k, ...) arrays from MultiCamDataManager.next_train_stack.
+        """
+        step_impl = self._build_step_impl()
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_steps(state: TrainState, batches: dict):
+            def body(s, b):
+                return step_impl(s, b)
+
+            state, ms = jax.lax.scan(body, state, batches)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        return train_steps
+
+    def _build_step_impl(self):
         mcfg = self.model_config
         tcfg = self.config
         has_col = self.dm.config.train_num_col_rays_per_batch > 0 and self.dm.col is not None
@@ -392,6 +415,14 @@ class Trainer:
             )
             total = sum(loss_dict.values())
             metrics = dict(loss_dict)
+            # camera-opt norms (reference lse_pipeline.py:134-142)
+            for name, cp in cam_params.items():
+                if isinstance(cp, dict) and "pose_adjustment" in cp:
+                    pa = cp["pose_adjustment"]
+                    metrics[f"camera_opt_translation_{name}"] = jnp.linalg.norm(
+                        pa[:, :3]
+                    )
+                    metrics[f"camera_opt_rotation_{name}"] = jnp.linalg.norm(pa[:, 3:])
             if col_out is not None:
                 mse = jnp.mean((col_out["rgb"] - col_batch["image"]) ** 2)
                 metrics["psnr"] = -10.0 * jnp.log10(mse)
@@ -400,8 +431,7 @@ class Trainer:
                 )
             return total, metrics
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, batch: dict):
+        def step_impl(state: TrainState, batch: dict):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.occ, batch, state.step
             )
@@ -415,7 +445,7 @@ class Trainer:
                 metrics,
             )
 
-        return train_step
+        return step_impl
 
     # -- occupancy maintenance ----------------------------------------------
 
