@@ -457,15 +457,26 @@ class Trainer:
             1, int(gcfg.resolution**3 * gcfg.sample_fraction)
         )
 
+        # chunk the density sweep: at production sizes (128^3/4 cells x 4
+        # levels ~ 2M positions) a single fused hash-encode would materialize
+        # multi-GB intermediates; lax.map bounds them per chunk
         @jax.jit
         def occ_update(state: TrainState) -> TrainState:
             rng, k = jax.random.split(state.rng)
             cell_ids, positions = occ_lib.sample_update_positions(k, gcfg, num_cells)
-            dens = field_lib.density_fn(
-                jax.lax.stop_gradient(state.params["model"]["field"]),
-                positions.reshape(-1, 3),
-                mcfg.field,
-            ).reshape(gcfg.levels, num_cells)
+            flat = positions.reshape(-1, 3)
+            m = flat.shape[0]
+            chunk = min(m, 131072)
+            pad = (-m) % chunk
+            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)])
+            field_params = jax.lax.stop_gradient(state.params["model"]["field"])
+
+            def eval_chunk(p):
+                return field_lib.density_fn(field_params, p, mcfg.field)[:, 0]
+
+            dens = jax.lax.map(
+                eval_chunk, flat.reshape(-1, chunk, 3)
+            ).reshape(-1)[:m].reshape(gcfg.levels, num_cells)
             occ = occ_lib.sampled_update(state.occ, cell_ids, dens * step_size, gcfg)
             return state.replace(occ=occ, rng=rng)
 

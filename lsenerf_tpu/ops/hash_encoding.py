@@ -5,12 +5,22 @@ Capability parity with tiny-cuda-nn's HashGrid as configured by the reference
 max 2048, hash_init_scale 0.001, trilinear interpolation). This is the
 dominant compute/bandwidth consumer of the whole model (SURVEY.md section 2c).
 
-TPU-native design: one fused gather over a single (L*T, F) table for all
-levels and all 8 corners at once — XLA lowers this to a single large dynamic
-gather, and the backward pass to one scatter-add, both HBM-bandwidth bound
-exactly like the CUDA original. Corner hashing uses the NGP XOR-prime scheme.
-A Pallas double-buffered variant can slot in behind the same function
-signature later; numerics are defined by this module.
+TPU-native layout design. TPU tiles the two minor dimensions to (8, 128); any
+array whose minor dimension is tiny (like features=2 or corners=8) gets
+padded up to 128 lanes — a 16-64x memory blowup that OOMs at production sizes.
+So this module keeps the SAMPLE axis minor everywhere:
+
+  - the table parameter is stored transposed as (F, L*T) — gathers produce
+    (F, M) with a huge minor dim, and the backward scatter-add lands in the
+    same layout;
+  - corner indices/weights are built corner-major as (8, L, n) and flattened,
+    so the weighted corner reduction is a lane-aligned strided sum;
+  - only the final (n, L*F) output has a small minor dim (32 -> one 4x-padded
+    small array).
+
+One fused gather serves all levels and corners; XLA lowers it to a single
+dynamic-gather and its transpose to one scatter-add, both HBM-bandwidth bound
+exactly like the CUDA original.
 """
 
 from __future__ import annotations
@@ -52,20 +62,22 @@ class HashEncodingConfig:
 
 
 def init_hash_table(key: jax.Array, config: HashEncodingConfig) -> jnp.ndarray:
-    """U(-scale, scale) init (reference lse_field.py:66-67)."""
-    shape = (config.table_size * config.num_levels, config.features_per_level)
+    """U(-scale, scale) init (reference lse_field.py:66-67).
+
+    Stored transposed: (features_per_level, table_size * num_levels).
+    """
+    shape = (config.features_per_level, config.table_size * config.num_levels)
     return (
         jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0)
         * config.hash_init_scale
     )
 
 
-def _hash_corners(corners: jnp.ndarray, log2_size: int) -> jnp.ndarray:
-    """(..., 3) int32 lattice coords -> (...,) table indices via XOR-prime hash."""
-    c = corners.astype(jnp.uint32)
-    h = c[..., 0] * jnp.uint32(_PRIMES[0])
-    h = h ^ (c[..., 1] * jnp.uint32(_PRIMES[1]))
-    h = h ^ (c[..., 2] * jnp.uint32(_PRIMES[2]))
+def _hash_corners(cx, cy, cz, log2_size: int) -> jnp.ndarray:
+    """int32 lattice coords (any shape) -> table indices via XOR-prime hash."""
+    h = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    h = h ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+    h = h ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
     return (h & jnp.uint32(2**log2_size - 1)).astype(jnp.int32)
 
 
@@ -79,32 +91,42 @@ def hash_encode(
     poses train through the field.
     """
     n = positions.shape[0]
-    L, F = config.num_levels, config.features_per_level
+    L, F, T = config.num_levels, config.features_per_level, config.table_size
     scalings = jnp.asarray(config.scalings(), dtype=jnp.float32)  # (L,)
 
-    scaled = positions[None, :, :] * scalings[:, None, None]  # (L, n, 3)
-    floor = jnp.floor(scaled)
-    frac = scaled - floor  # (L, n, 3) trilinear weights
-    base = floor.astype(jnp.int32)
+    # sample-minor coordinate arrays: (L, n) per dimension
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    sx = px[None, :] * scalings[:, None]
+    sy = py[None, :] * scalings[:, None]
+    sz = pz[None, :] * scalings[:, None]
+    fx_, fy_, fz_ = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
+    wx, wy, wz = sx - fx_, sy - fy_, sz - fz_  # trilinear fracs (L, n)
+    bx, by, bz = fx_.astype(jnp.int32), fy_.astype(jnp.int32), fz_.astype(jnp.int32)
 
-    # 8 corner offsets (static)
-    offsets = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.int32
-    )  # (8, 3)
-    corners = base[:, :, None, :] + offsets[None, None, :, :]  # (L, n, 8, 3)
+    level_offset = jnp.arange(L, dtype=jnp.int32)[:, None] * T  # (L, 1)
 
-    idx = _hash_corners(corners, config.log2_hashmap_size)  # (L, n, 8)
-    level_offset = (
-        jnp.arange(L, dtype=jnp.int32)[:, None, None] * config.table_size
-    )
-    flat_idx = (idx + level_offset).reshape(-1)  # (L*n*8,)
+    idx_parts = []
+    w_parts = []
+    for i in (0, 1):
+        cxp = bx + i
+        wxp = wx if i else (1.0 - wx)
+        for j in (0, 1):
+            cyp = by + j
+            wyp = wy if j else (1.0 - wy)
+            for k in (0, 1):
+                czp = bz + k
+                wzp = wz if k else (1.0 - wz)
+                idx_parts.append(_hash_corners(cxp, cyp, czp,
+                                               config.log2_hashmap_size)
+                                 + level_offset)  # (L, n)
+                w_parts.append(wxp * wyp * wzp)  # (L, n)
 
-    feats = jnp.take(table, flat_idx, axis=0).reshape(L, n, 8, F)
+    idx_flat = jnp.concatenate(idx_parts, axis=0).reshape(-1)  # (8*L*n,)
+    w_flat = jnp.concatenate(w_parts, axis=0).reshape(-1)  # (8*L*n,)
 
-    # trilinear blend: weight per corner = prod over dims of (frac or 1-frac)
-    w = jnp.where(
-        offsets[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :]
-    ).prod(axis=-1)  # (L, n, 8)
-
-    out = jnp.sum(feats * w[..., None], axis=2)  # (L, n, F)
-    return jnp.moveaxis(out, 0, 1).reshape(n, L * F)
+    g = jnp.take(table, idx_flat, axis=1)  # (F, 8*L*n) — minor dim huge
+    gw = g * w_flat[None, :]
+    # corner reduction: (F, 8, L*n) -> (F, L*n); minor dim stays L*n
+    acc = gw.reshape(F, 8, L * n).sum(axis=1)
+    # final (n, L*F): small minor dim only on this compact output array
+    return acc.reshape(F, L, n).transpose(2, 1, 0).reshape(n, L * F)

@@ -117,11 +117,15 @@ def march_rays(
     mids = 0.5 * (t0s + t1s)
     in_range = mids < t_hi[:, None]
 
-    # occupancy lookup at interval midpoints
-    pos = o_ng[:, None, :] + mids[..., None] * d_ng[:, None, :]
-    occ = occ_lib.occupancy_at(
-        occ_state, pos.reshape(-1, 3), occ_config
-    ).reshape(n, -1)
+    # occupancy lookup at interval midpoints; coordinates stay as separate
+    # (n, m) planes (sample-minor TPU layout — see occupancy_at_coords)
+    occ = occ_lib.occupancy_at_coords(
+        occ_state,
+        o_ng[:, None, 0] + mids * d_ng[:, None, 0],
+        o_ng[:, None, 1] + mids * d_ng[:, None, 1],
+        o_ng[:, None, 2] + mids * d_ng[:, None, 2],
+        occ_config,
+    )
     keep = occ & in_range  # (n, m)
 
     # compact the first k kept candidates per ray into the sample buffers

@@ -55,20 +55,32 @@ def level_of_positions(positions: jnp.ndarray, config: OccGridConfig) -> jnp.nda
     return jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
 
 
+def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
+    """Coordinate-separate occupancy lookup (any common shape).
+
+    Avoids materializing an (..., 3) array: on TPU a minor dimension of 3 is
+    lane-padded to 128 (42x memory waste) — at production ray counts that is
+    hundreds of MB per march. Callers pass the coordinate planes directly.
+    """
+    R = config.resolution
+    mag = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(mag / config.aabb_scale, 1e-12)))
+    lvl = jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
+    half = config.aabb_scale * (2.0 ** lvl.astype(jnp.float32))
+    inv = R / (2.0 * half)
+
+    def cell(c):
+        return jnp.clip(jnp.floor((c + half) * inv), 0, R - 1).astype(jnp.int32)
+
+    flat = lvl * (R * R * R) + cell(x) * (R * R) + cell(y) * R + cell(z)
+    return jnp.take(state.binaries.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+
+
 def occupancy_at(state: OccGridState, positions: jnp.ndarray, config: OccGridConfig):
     """(n, 3) world positions -> (n,) bool occupancy at their finest level."""
-    R = config.resolution
-    lvl = level_of_positions(positions, config)
-    half = config.aabb_scale * (2.0 ** lvl.astype(jnp.float32))  # (n,)
-    cell = jnp.floor((positions + half[:, None]) / (2.0 * half[:, None]) * R)
-    cell = jnp.clip(cell, 0, R - 1).astype(jnp.int32)
-    flat = (
-        lvl * (R * R * R)
-        + cell[:, 0] * (R * R)
-        + cell[:, 1] * R
-        + cell[:, 2]
+    return occupancy_at_coords(
+        state, positions[:, 0], positions[:, 1], positions[:, 2], config
     )
-    return jnp.take(state.binaries.reshape(-1), flat)
 
 
 def _cell_centers(config: OccGridConfig) -> jnp.ndarray:

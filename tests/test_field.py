@@ -40,7 +40,7 @@ def _np_hash_encode(table, positions, cfg):
                         * (frac[:, 1] if j else 1 - frac[:, 1])
                         * (frac[:, 2] if k else 1 - frac[:, 2])
                     )
-                    acc += np.asarray(table)[idx] * w[:, None]
+                    acc += np.asarray(table)[:, idx].T * w[:, None]
         out[:, li * F : (li + 1) * F] = acc
     return out
 

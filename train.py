@@ -73,8 +73,29 @@ def main(argv=None):
     col, evs, eval_ds, _ = build_datasets(config, parser_cfg)
     dm = MultiCamDataManager(dm_cfg, col, evs, seed=config.machine.seed)
 
+    # multi-host / multi-device: one process per host, all local devices in a
+    # 1-D data mesh (reference used mp.spawn+NCCL per GPU, train.py:114-234)
+    mesh = None
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    if config.machine.num_devices > 1 or len(jax.devices()) > 1:
+        from lsenerf_tpu.parallel import mesh as mesh_lib
+
+        n_dev = (
+            config.machine.num_devices
+            if config.machine.num_devices > 1
+            else len(jax.devices())
+        )
+        mesh = mesh_lib.make_mesh(n_dev)
+        mesh_lib.round_rays_to_mesh(dm_cfg, mesh)
+        print(f"[lsenerf-tpu] data-parallel over {n_dev} devices")
+
     trainer = Trainer(trainer_cfg, model_cfg, dm, eval_dataset=eval_ds)
     state = trainer.setup(jax.random.PRNGKey(config.machine.seed))
+    if mesh is not None:
+        from lsenerf_tpu.parallel import mesh as mesh_lib
+
+        state = mesh_lib.replicate(state, mesh)
 
     # checkpoint restore (reference _load_checkpoint, lse_trainer.py:85-122)
     if config.load_dir or config.load_checkpoint:
@@ -115,11 +136,23 @@ def main(argv=None):
     start = int(state.step)
     import jax.numpy as jnp
 
+    profile_dir = os.environ.get("LSENERF_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     for it in range(start, config.max_num_iterations):
         if it % model_cfg.grid.update_interval == 0 and not config.is_render:
             state = trainer._occ_update(state)
-        batch = {k: jnp.asarray(v) for k, v in dm.next_train(it).items()}
+        raw = dm.next_train(it)
+        if mesh is not None:
+            from lsenerf_tpu.parallel import mesh as mesh_lib
+
+            batch = mesh_lib.shard_batch(raw, mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in raw.items()}
         state, metrics = trainer._train_step(state, batch)
+        if profile_dir and it == start + 30:
+            jax.profiler.stop_trace()
+            profile_dir = None
 
         if it % 100 == 0:
             scal = {k: float(v) for k, v in metrics.items()}
