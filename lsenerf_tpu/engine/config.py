@@ -196,9 +196,7 @@ def _walk_fields(cls, prefix=""):
 
 def add_config_args(parser: argparse.ArgumentParser, cls=ExperimentConfig):
     for dotted, ftype in _walk_fields(cls):
-        flag = "--" + dotted
-        alt = "--" + dotted.replace("_", "-")
-        names = [flag] if flag == alt else [flag, alt]
+        names = ["--" + dotted]
         if ftype is bool or ftype == "bool":
             parser.add_argument(*names, dest=dotted, type=_parse_bool, default=None)
         elif ftype in (int, "int"):
@@ -229,13 +227,32 @@ def apply_overrides(config: ExperimentConfig, ns: argparse.Namespace):
     return config
 
 
+def _normalize_argv(argv):
+    """Accept any dash/underscore mix in flag names (tyro-style): the
+    canonical registered spelling is all-underscore."""
+    out = []
+    for tok in argv:
+        if tok.startswith("--"):
+            if "=" in tok:
+                name, val = tok[2:].split("=", 1)
+                out.append("--" + name.replace("-", "_") + "=" + val)
+            else:
+                out.append("--" + tok[2:].replace("-", "_"))
+        else:
+            out.append(tok)
+    return out
+
+
 def parse_cli(argv=None) -> ExperimentConfig:
     parser = argparse.ArgumentParser(
         prog="train.py", description="LSENeRF-TPU trainer"
     )
     parser.add_argument("method", nargs="?", default="lsenerf")
     add_config_args(parser)
-    ns = parser.parse_args(argv)
+    import sys as _sys
+
+    argv = _sys.argv[1:] if argv is None else list(argv)
+    ns = parser.parse_args(_normalize_argv(argv))
     config = ExperimentConfig(method_name=ns.method)
     return apply_overrides(config, ns)
 

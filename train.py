@@ -133,13 +133,17 @@ def main(argv=None):
     print(f"[lsenerf-tpu] git {get_git_hash()[:12]}, devices {jax.devices()}")
 
     ckpt_dir = osp.join(base_dir, "checkpoints")
+    # nerfstudio loop semantics: run max_num_iterations steps FROM the start
+    # step (so eval-mode runs schedule steps_per_eval_all_images at
+    # load_step + max_iter - 5, reference train.py:269)
     start = int(state.step)
+    end = start + config.max_num_iterations if start > 0 else config.max_num_iterations
     import jax.numpy as jnp
 
     profile_dir = os.environ.get("LSENERF_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    for it in range(start, config.max_num_iterations):
+    for it in range(start, end):
         if it % model_cfg.grid.update_interval == 0 and not config.is_render:
             state = trainer._occ_update(state)
         raw = dm.next_train(it)
@@ -172,7 +176,7 @@ def main(argv=None):
             )
             print(f"[eval @ {it}] " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
 
-    ckpt_lib.save_checkpoint(ckpt_dir, config.max_num_iterations - 1, state.params, state.occ)
+    ckpt_lib.save_checkpoint(ckpt_dir, end - 1, state.params, state.occ)
     logger.close()
     print("[lsenerf-tpu] done")
 
