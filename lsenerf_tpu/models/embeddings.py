@@ -18,6 +18,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from lsenerf_tpu.ops.fast_gather import take_rows
+
 EMBEDDING_TYPES = ("global_emb", "evs_emb")
 EVAL_MODES = ("zero", "mean", "param")
 
@@ -70,7 +72,7 @@ def apply_embedding(
         return jnp.broadcast_to(table[0], (n, table.shape[1]))
 
     if train:
-        return table[ids]
+        return take_rows(table, ids)
 
     if config.eval_mode == "zero":
         return jnp.zeros((n, table.shape[1]), dtype=table.dtype)

@@ -1,0 +1,151 @@
+"""Table gathers with a sort + windowed one-hot-matmul backward (no scatter).
+
+Why this exists (measured on v5e through XLA):
+  - scatter-add of 21.5M random updates into an 8.4M-entry table costs ~2 s
+    (~90 ns per scatter index, independent of sortedness, update shape, or
+    the indices_are_sorted hint) — this made the hash-table gradient the
+    single dominant cost of a training step;
+  - jax.lax.sort of the same 21.5M keys+payload costs ~88 ms;
+  - MXU matmuls and VPU compares at these sizes cost single-digit ms.
+
+So the backward of the table gather is reformulated scatter-free:
+  1. sort (idx, grad-rows) by idx;
+  2. partition the table into windows of W slots; `searchsorted` gives each
+     window's start in the sorted update stream;
+  3. for each window, slice up to MAX_UPDATES sorted updates and aggregate
+     them with a one-hot (updates x W) matmul — duplicates within a window
+     sum on the MXU, out-of-window rows are masked;
+  4. concatenate the per-window (W, F) partials: that IS the gradient table.
+
+Overflow contract: a single window holding more than MAX_UPDATES updates
+drops the tail. Windows are W slots; with the NGP hash spreading indices
+near-uniformly, MAX_UPDATES is sized at ~6x the mean so overflow needs a
+>6x hot spot (degenerate inputs such as every sample at the same point).
+Correctness-sensitive callers can raise `max_updates_factor`.
+
+`take_rows` (appearance embeddings: few thousand updates) keeps the plain
+scatter backward — at small index counts the scatter cost is irrelevant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def sorted_window_accumulate(
+    idx: jnp.ndarray,
+    grads: jnp.ndarray,
+    table_len: int,
+    window: int = 512,
+    max_updates_factor: int = 6,
+    batch_windows: int = 8,
+) -> jnp.ndarray:
+    """Aggregate (m,) int32 indices x (m, F) updates -> (table_len, F), no scatter."""
+    m, F = grads.shape
+    n_windows = _round_up(table_len, window) // window
+    mean_per_window = max(1, m // n_windows)
+    max_updates = _round_up(max(window, max_updates_factor * mean_per_window), 256)
+    max_updates = min(max_updates, _round_up(m, 256))
+
+    operands = [idx] + [grads[:, f] for f in range(F)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    si = sorted_ops[0]
+    sg = jnp.stack(sorted_ops[1:], axis=1)  # (m, F)
+
+    # pad the sorted stream so every window slice is in bounds; pad indices sit
+    # beyond the last window so the one-hot mask never matches them
+    sentinel = jnp.int32(n_windows * window)
+    si = jnp.concatenate([si, jnp.full((max_updates,), sentinel, si.dtype)])
+    sg = jnp.concatenate([sg, jnp.zeros((max_updates, F), sg.dtype)])
+
+    window_ids = jnp.arange(n_windows, dtype=jnp.int32)
+    starts = jnp.searchsorted(si, window_ids * window).astype(jnp.int32)
+
+    lane = jnp.arange(window, dtype=jnp.int32)
+
+    def one_window(w, start):
+        seg_i = jax.lax.dynamic_slice(si, (start,), (max_updates,))
+        seg_g = jax.lax.dynamic_slice(sg, (start, 0), (max_updates, F))
+        rel = seg_i - w * window
+        onehot = ((rel[:, None] == lane[None, :])).astype(sg.dtype)
+        return jnp.matmul(
+            onehot.T, seg_g, preferred_element_type=jnp.float32
+        )  # (window, F)
+
+    def batch_fn(args):
+        ws, sts = args
+        return jax.vmap(one_window)(ws, sts)
+
+    pad = (-n_windows) % batch_windows
+    w_pad = jnp.concatenate([window_ids, jnp.zeros((pad,), jnp.int32)])
+    s_pad = jnp.concatenate([starts, jnp.zeros((pad,), jnp.int32)])
+    parts = jax.lax.map(
+        batch_fn,
+        (
+            w_pad.reshape(-1, batch_windows),
+            s_pad.reshape(-1, batch_windows),
+        ),
+    )  # (n_batches, batch_windows, window, F)
+    out = parts.reshape(-1, F)[: n_windows * window]
+    return out[:table_len]
+
+
+@jax.custom_vjp
+def take_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(F, T) table, (m,) int idx -> (F, m). Differentiable in `table`."""
+    return jnp.take(table, idx, axis=1)
+
+
+def _take_cols_fwd(table, idx):
+    # residual keeps a reference to `table` only for its shape/dtype (no copy)
+    return jnp.take(table, idx, axis=1), (idx, table)
+
+
+def _use_windowed_bwd(num_indices: int) -> bool:
+    """The scatter-free path only pays off where scatter is catastrophic
+    (TPU, ~90ns/index); CPU/GPU scatters are fine and compile faster."""
+    import jax.extend.backend as jxb
+
+    try:
+        backend = jxb.get_backend().platform
+    except RuntimeError:
+        backend = "cpu"
+    return backend == "tpu" and num_indices >= 65536
+
+
+def _take_cols_bwd(res, g):
+    idx, table = res
+    F, LT = table.shape
+    if _use_windowed_bwd(idx.shape[0]):
+        dt = sorted_window_accumulate(idx, g.T.astype(table.dtype), LT)
+        return dt.T, None
+    return jnp.zeros_like(table).at[:, idx].add(g.astype(table.dtype)), None
+
+
+take_cols.defvjp(_take_cols_fwd, _take_cols_bwd)
+
+
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(R, d...) table, (m,) int idx -> (m, d...). Differentiable in `table`."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table)
+
+
+def _take_rows_bwd(res, g):
+    idx, table = res
+    dt = jnp.zeros_like(table).at[idx].add(g.astype(table.dtype))
+    return dt, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsenerf_tpu.ops.fast_gather import take_cols
+
 # NGP spatial hash primes (pi1=1 keeps x-major locality at low resolutions)
 _PRIMES = (1, 2654435761, 805459861)
 
@@ -124,7 +126,7 @@ def hash_encode(
     idx_flat = jnp.concatenate(idx_parts, axis=0).reshape(-1)  # (8*L*n,)
     w_flat = jnp.concatenate(w_parts, axis=0).reshape(-1)  # (8*L*n,)
 
-    g = jnp.take(table, idx_flat, axis=1)  # (F, 8*L*n) — minor dim huge
+    g = take_cols(table, idx_flat)  # (F, 8*L*n) — minor dim huge; fast-scatter bwd
     gw = g * w_flat[None, :]
     # corner reduction: (F, 8, L*n) -> (F, L*n); minor dim stays L*n
     acc = gw.reshape(F, 8, L * n).sum(axis=1)
