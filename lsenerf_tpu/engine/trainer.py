@@ -392,24 +392,47 @@ class Trainer:
             cam_params = params["camera_opt"]
             col_out = prev_out = next_out = None
             col_batch = evs_batch = None
+            # all branches share ONE volume render (one hash gather + one
+            # sorted-window gradient instead of three), then split and
+            # post-process per branch (mapper routing differs by ev_out)
+            bundles, sizes = [], []
             if has_col:
-                bundle = self._make_col_bundle(cam_params, batch, col_gate)
-                col_out = model_lib.model_forward(
-                    params["model"], bundle, occ, mcfg, train=True, ev_out=False
-                )
+                col_b = self._make_col_bundle(cam_params, batch, col_gate)
+                bundles.append(col_b)
+                sizes.append(col_b.origins.shape[0])
                 col_batch = {"image": batch["col_rgb"]}
             if has_evs:
                 prev_b, next_b = self._make_evs_bundles(cam_params, batch, evs_gate)
-                prev_out = model_lib.model_forward(
-                    params["model"], prev_b, occ, mcfg, train=True, ev_out=True
-                )
-                next_out = model_lib.model_forward(
-                    params["model"], next_b, occ, mcfg, train=True, ev_out=True
-                )
+                bundles.extend([prev_b, next_b])
+                sizes.extend([prev_b.origins.shape[0], next_b.origins.shape[0]])
                 evs_batch = {
                     "image": batch["evs_values"],
                     "e_thresh": batch["e_thresh"],
                 }
+            big = model_lib.concat_bundles(bundles) if len(bundles) > 1 else bundles[0]
+            raw = model_lib.render_bundle(params["model"], big, occ, mcfg, train=True)
+            offs = [0]
+            for s in sizes:
+                offs.append(offs[-1] + s)
+            cursor = 0
+            if has_col:
+                col_out = model_lib.postprocess_outputs(
+                    params["model"],
+                    model_lib.slice_outputs(raw, offs[cursor], offs[cursor + 1]),
+                    mcfg, train=True, ev_out=False,
+                )
+                cursor += 1
+            if has_evs:
+                prev_out = model_lib.postprocess_outputs(
+                    params["model"],
+                    model_lib.slice_outputs(raw, offs[cursor], offs[cursor + 1]),
+                    mcfg, train=True, ev_out=True,
+                )
+                next_out = model_lib.postprocess_outputs(
+                    params["model"],
+                    model_lib.slice_outputs(raw, offs[cursor + 1], offs[cursor + 2]),
+                    mcfg, train=True, ev_out=True,
+                )
             loss_dict = model_lib.compute_losses(
                 params["model"], mcfg, col_out, prev_out, next_out, col_batch, evs_batch
             )

@@ -166,16 +166,18 @@ def _format_linear(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x] * 3, axis=-1) if x.shape[-1] == 1 else x
 
 
-def model_forward(
+def postprocess_outputs(
     params: dict,
-    bundle: RayBundle,
-    occ_state: occ_lib.OccGridState,
+    out: dict,
     config: ModelConfig,
     train: bool = True,
     ev_out: bool = False,
 ) -> dict:
-    """Full forward incl. mapper routing (reference get_outputs, lsenerf.py:329-377)."""
-    out = render_bundle(params, bundle, occ_state, config, train=train)
+    """Mapper routing + deblur + clamping on raw render outputs
+    (reference get_outputs tail, lsenerf.py:329-377). Split from the volume
+    render so several ray bundles can share ONE render call (one hash
+    gather/scatter instead of three) and be post-processed per-branch."""
+    out = dict(out)
     clamp_out = jnp.clip(out["rgb"], min=1e-5)
 
     if config.use_mapping or config.map_mode == "rgb_evs":
@@ -219,6 +221,30 @@ def model_forward(
     else:
         out["rgb"] = jnp.clip(out["rgb"], min=1e-5)
     return out
+
+
+def model_forward(
+    params: dict,
+    bundle: RayBundle,
+    occ_state: occ_lib.OccGridState,
+    config: ModelConfig,
+    train: bool = True,
+    ev_out: bool = False,
+) -> dict:
+    """Volume render + postprocess for a single bundle."""
+    out = render_bundle(params, bundle, occ_state, config, train=train)
+    return postprocess_outputs(params, out, config, train=train, ev_out=ev_out)
+
+
+def concat_bundles(bundles):
+    """Concatenate ray bundles along the ray axis (shared metadata keys)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *bundles)
+
+
+def slice_outputs(out: dict, start: int, stop: int) -> dict:
+    return {k: v[start:stop] for k, v in out.items()}
 
 
 def compute_losses(
