@@ -387,6 +387,7 @@ def build_runtime_configs(config: ExperimentConfig):
                 num_levels=m.num_levels,
                 log2_hashmap_size=m.log2_hashmap_size,
                 max_res=m.max_res,
+                gather_dtype=m.compute_dtype,
             ),
             embedding=emb_lib.EmbeddingConfig(
                 embedding_type=m.embed_config.embedding_type,

@@ -77,7 +77,7 @@ def sorted_window_accumulate(
         onehot = ((rel[:, None] == lane[None, :])).astype(sg.dtype)
         return jnp.matmul(
             onehot.T, seg_g, preferred_element_type=jnp.float32
-        )  # (window, F)
+        ).astype(sg.dtype)  # (window, F); f32 accumulate, storage dtype out
 
     def batch_fn(args):
         ws, sts = args
@@ -124,8 +124,10 @@ def _take_cols_bwd(res, g):
     idx, table = res
     F, LT = table.shape
     if _use_windowed_bwd(idx.shape[0]):
+        # payload sorted/matmul'd in the table dtype (bf16 halves traffic);
+        # the one-hot matmul still accumulates in float32
         dt = sorted_window_accumulate(idx, g.T.astype(table.dtype), LT)
-        return dt.T, None
+        return dt.T.astype(table.dtype), None
     return jnp.zeros_like(table).at[:, idx].add(g.astype(table.dtype)), None
 
 

@@ -45,6 +45,10 @@ class HashEncodingConfig:
     base_res: int = 16
     max_res: int = 2048
     hash_init_scale: float = 0.001
+    # "bfloat16" halves gather/sort traffic: params stay float32 (Adam
+    # moments keep full precision); the table is cast per step just for the
+    # lookup, and gradients accumulate in float32 in the windowed backward
+    gather_dtype: str = "float32"
 
     @property
     def table_size(self) -> int:
@@ -126,7 +130,10 @@ def hash_encode(
     idx_flat = jnp.concatenate(idx_parts, axis=0).reshape(-1)  # (8*L*n,)
     w_flat = jnp.concatenate(w_parts, axis=0).reshape(-1)  # (8*L*n,)
 
+    if config.gather_dtype == "bfloat16":
+        table = table.astype(jnp.bfloat16)
     g = take_cols(table, idx_flat)  # (F, 8*L*n) — minor dim huge; fast-scatter bwd
+    g = g.astype(jnp.float32)
     gw = g * w_flat[None, :]
     # corner reduction: (F, 8, L*n) -> (F, L*n); minor dim stays L*n
     acc = gw.reshape(F, 8, L * n).sum(axis=1)
