@@ -46,9 +46,14 @@ class OccGridState:
 
 def init_occ_grid(config: OccGridConfig) -> OccGridState:
     shape = (config.levels, config.resolution, config.resolution, config.resolution)
-    # start fully occupied so early training marches everywhere
+    # Optimistic init: occs start at 1.0 ("assume occupied until proven
+    # empty") so cells that sampled updates have not visited yet keep
+    # marching; they EMA-decay below occ_thre after ~90 unvisited updates.
+    # nerfacc gets the same safety from full-grid sweeps during its warmup
+    # phase (update_every_n_steps warmup_steps=256), which cost ~7s each on
+    # TPU at 128^3 x 4 levels — optimistic decay replaces them.
     return OccGridState(
-        occs=jnp.zeros(shape, jnp.float32), binaries=jnp.ones(shape, bool)
+        occs=jnp.ones(shape, jnp.float32), binaries=jnp.ones(shape, bool)
     )
 
 

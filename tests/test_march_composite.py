@@ -163,13 +163,17 @@ def test_occupancy_lookup_levels():
 def test_occupancy_updates_binarize_and_ema():
     cfg = occ_lib.OccGridConfig(resolution=8, levels=1, aabb_scale=1.0)
     state = occ_lib.init_occ_grid(cfg)
-    # full update: one hot cell
+    # optimistic init: everything starts occupied
+    assert bool(np.asarray(state.binaries).all())
+    # repeated updates with density only at cell 100: unvisited cells decay
+    # below the threshold (~90 updates at ema 0.95), cell 100 stays occupied
     dens = np.zeros((1, 8 * 8 * 8), np.float32)
     dens[0, 100] = 10.0
-    state = occ_lib.full_update(state, jnp.asarray(dens), cfg)
+    for _ in range(120):
+        state = occ_lib.full_update(state, jnp.asarray(dens), cfg)
     b = np.asarray(state.binaries).reshape(-1)
     assert b[100] and b.sum() == 1
-    # sampled update decays and refreshes
+    # sampled update: EMA decay applies to the refreshed cell
     cell_ids = jnp.asarray([[100]])
     state2 = occ_lib.sampled_update(state, cell_ids, jnp.asarray([[0.0]]), cfg)
     occ_after = float(np.asarray(state2.occs).reshape(-1)[100])
