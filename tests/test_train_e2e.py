@@ -135,3 +135,43 @@ def test_delayed_camera_opt_stays_zero(scene):
     )
     deltas = state.params["camera_opt"]["col"]["pose_adjustment"]
     assert float(jnp.abs(deltas).max()) == 0.0  # gate blocks grads before delay_cnt
+
+
+def test_prevnext_camera_training(scene):
+    """EVIMO-style explicit prev/next event cameras (reference
+    PrevNextRayGenerator + PrevNextCamOptimizer path)."""
+    from dataclasses import replace as dc_replace
+
+    import lsenerf_tpu.data.dataset as ds_lib
+
+    col, evs = scene
+    # synthesize prev/next camera arrays from the consecutive cameras
+    prev_cams = evs.cameras
+    c2w = evs.cameras.camera_to_worlds
+    next_cams = dc_replace(
+        evs.cameras,
+        camera_to_worlds=jnp.concatenate([c2w[1:], c2w[-1:]], axis=0),
+    )
+    evs_pn = ds_lib.EventFrameDataset(
+        eimgs=evs.eimgs, cameras=prev_cams, e_thresh=evs.e_thresh,
+        appearance_ids=evs.appearance_ids,
+        prev_cameras=prev_cams, next_cameras=next_cams,
+    )
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=256, rgb_frac=0.5)
+    dm = MultiCamDataManager(dm_cfg, col, evs_pn)
+    tr_cfg = TrainerConfig(
+        evs_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="ns"),
+    )
+    trainer = Trainer(tr_cfg, tiny_model_config(ev_one_dim="gt"), dm)
+    # prev/next auto-detect flips the optimizer type (lse_datamanager.py:299-300)
+    assert trainer.config.evs_cam_opt.optim_type == "prevnext"
+    state = trainer.setup(jax.random.PRNGKey(0))
+    history = []
+    state, metrics = trainer.train(
+        state, num_steps=40, log_every=30, callback=lambda s, m: history.append(m)
+    )
+    assert np.isfinite(float(metrics["event_loss"]))
+    # both prev and next delta sets received gradient updates
+    pn = state.params["camera_opt"]["evs"]
+    assert float(jnp.abs(pn["prev"]["pose_adjustment"]).max()) > 0
+    assert float(jnp.abs(pn["next"]["pose_adjustment"]).max()) > 0

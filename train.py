@@ -163,6 +163,26 @@ def main(argv=None):
             logger.log(it, scal)
             if it % 1000 == 0:
                 print(f"step {it}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
+        if (it + 1) % config.steps_per_eval_image == 0 and eval_ds is not None:
+            # single-view eval (reference steps_per_eval_image cadence via
+            # LSERandIndicesEvalDataloader, lse_datamanager.py:474-479)
+            import numpy as _np
+
+            from lsenerf_tpu.engine import renderer as _renderer
+            from lsenerf_tpu.ops import metrics as _metrics
+
+            vi = int(_np.random.default_rng(it).integers(0, len(eval_ds)))
+            out = _renderer.render_image(
+                state.params["model"], eval_ds.cameras, vi, state.occ,
+                trainer.model_config,
+                appearance_id=int(eval_ds.appearance_ids[vi]),
+                chunk=config.pipeline.model.eval_num_rays_per_chunk,
+            )
+            psnr_v = float(_metrics.psnr(
+                jnp.asarray(eval_ds.images[vi]), jnp.asarray(out["rgb"])
+            ))
+            logger.log(it, {"eval_psnr": psnr_v})
+            print(f"[eval-image @ {it}] view {vi} psnr {psnr_v:.2f}")
         if (it + 1) % config.steps_per_save == 0:
             ckpt_lib.save_checkpoint(
                 ckpt_dir, it, state.params, state.occ
