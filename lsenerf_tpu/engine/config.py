@@ -128,7 +128,7 @@ class ModelCLI:
     grid_resolution: int = 128
     grid_levels: int = 4
     max_samples: int = 48
-    max_candidates: int = 512
+    max_candidates: int = 1024
     disable_scene_contraction: bool = False
     background_color: str = "random"
     compute_dtype: str = "float32"

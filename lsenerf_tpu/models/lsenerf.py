@@ -46,7 +46,10 @@ class ModelConfig:
     alpha_thre: float = 0.01
     early_stop_eps: float = 1e-4
     max_samples: int = 48
-    max_candidates: int = 512
+    # candidate march steps must cover the scene: with the auto step
+    # (diag/1000) and cone_angle=0.004, ~930 candidates reach the outer
+    # contraction aabb (t~14); 512 would truncate the far field at t~2.5
+    max_candidates: int = 1024
     background_color: str = "random"  # NGP eval background
 
     evs_loss_weight: float = 1.0
