@@ -129,6 +129,7 @@ class ModelCLI:
     grid_levels: int = 4
     max_samples: int = 48
     max_candidates: int = 1024
+    compact_chunk: int = 0
     disable_scene_contraction: bool = False
     background_color: str = "random"
     compute_dtype: str = "float32"
@@ -403,6 +404,7 @@ def build_runtime_configs(config: ExperimentConfig):
         ),
         max_samples=m.max_samples,
         max_candidates=m.max_candidates,
+        compact_chunk=m.compact_chunk,
         background_color=m.background_color,
         evs_loss_weight=m.evs_loss_weight,
         event_loss_type=m.event_loss_type,

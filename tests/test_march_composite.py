@@ -187,3 +187,64 @@ def test_sample_update_positions_in_bounds():
     p = np.asarray(pos)
     assert np.abs(p[0]).max() <= 1.0 and np.abs(p[1]).max() <= 2.0
     assert np.abs(p[1]).max() > 1.0  # level 1 actually uses the bigger box
+
+
+def test_compact_field_eval_matches_dense():
+    """Compacted (chunk-skipping) field evaluation must match the dense path
+    in values AND gradients."""
+    from dataclasses import replace
+
+    from lsenerf_tpu.models import embeddings as emb_lib
+    from lsenerf_tpu.models import field as field_lib
+    from lsenerf_tpu.models import lsenerf as model_lib
+    from lsenerf_tpu.ops import hash_encoding as he
+    from tests.test_cameras import make_cams
+    from lsenerf_tpu.cameras import cameras as cam_lib
+
+    cfg_dense = model_lib.ModelConfig(
+        field=field_lib.FieldConfig(
+            hash=he.HashEncodingConfig(num_levels=4, log2_hashmap_size=8,
+                                       base_res=4, max_res=32),
+            use_contraction=False,
+            embedding=emb_lib.EmbeddingConfig(emb_dim=8),
+        ),
+        grid=occ_lib.OccGridConfig(resolution=16, levels=1),
+        max_samples=16, max_candidates=64, far_plane=6.0,
+        render_step_size=0.1, cone_angle=0.0,
+        compact_chunk=0,
+    ).normalized()
+    cfg_compact = replace(cfg_dense, compact_chunk=64)
+
+    params = model_lib.init_model(jax.random.PRNGKey(0), cfg_dense, num_imgs=4)
+    # half-occupied grid so some chunks are empty after sorting
+    state = occ_lib.init_occ_grid(cfg_dense.grid)
+    bins = np.zeros(np.asarray(state.binaries).shape, bool)
+    bins[0, 6:10, 6:10, 6:10] = True
+    state = occ_lib.OccGridState(occs=state.occs, binaries=jnp.asarray(bins))
+
+    cams = make_cams(n=3)
+    idx = jnp.array([0, 1, 2, 0, 1, 2, 0, 1])
+    coords = jnp.asarray(
+        np.random.default_rng(0).integers(0, 40, size=(8, 2)).astype(np.float32)
+    )
+    bundle = cam_lib.generate_rays(cams, idx, coords)
+    meta = dict(bundle.metadata)
+    meta["appearance_id"] = jnp.zeros((8,), jnp.int32)
+    bundle = bundle.replace(metadata=meta)
+
+    out_d = model_lib.render_bundle(params, bundle, state, cfg_dense)
+    out_c = model_lib.render_bundle(params, bundle, state, cfg_compact)
+    np.testing.assert_allclose(
+        np.asarray(out_c["rgb"]), np.asarray(out_d["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c["depth"]), np.asarray(out_d["depth"]), atol=1e-5
+    )
+
+    def loss(p, cfg):
+        return model_lib.render_bundle(p, bundle, state, cfg)["rgb"].sum()
+
+    g_d = jax.grad(loss)(params, cfg_dense)
+    g_c = jax.grad(loss)(params, cfg_compact)
+    for ld, lc in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(ld), atol=1e-4)
