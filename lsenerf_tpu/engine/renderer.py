@@ -48,8 +48,6 @@ def render_image(
         if config.background_color != "linear" and not config.use_mapping:
             # eval-mode background blending (RGBRenderer eval semantics); with
             # mapping the LinearRenderer keeps the raw sum (lse_renderer.py:4-10)
-            from lsenerf_tpu.ops import composite as comp
-
             acc = out["accumulation"]
             if config.background_color == "white":
                 out["rgb"] = out["rgb"] + (1.0 - acc)
