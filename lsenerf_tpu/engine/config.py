@@ -112,6 +112,13 @@ class DataManagerCLI:
 @dataclass
 class ModelCLI:
     evs_loss_weight: float = 1.0
+    # accepted for reference CLI parity; the reference declares but never
+    # consumes these in any loss (lsenerf.py:52-78: emb_norm_weight,
+    # use_mapper_loss/mapper_loss_weight, scaler_weight have no usage sites)
+    emb_norm_weight: float = 1e-2
+    use_mapper_loss: bool = False
+    mapper_loss_weight: float = 0.25
+    scaler_weight: float = 1.0
     event_loss_type: str = "log_loss"
     rgb_loss_type: str = "linspace"
     use_mapping: bool = False
