@@ -140,6 +140,9 @@ class ModelCLI:
     disable_scene_contraction: bool = False
     background_color: str = "random"
     compute_dtype: str = "float32"
+    # hash-table memory layout: "ngp" (reference-exact per-vertex hash) or
+    # "blocked" (TPU-first 3x3x3 block rows, 8x fewer gathers per sample)
+    hash_layout: str = "ngp"
 
 
 @dataclass
@@ -396,6 +399,7 @@ def build_runtime_configs(config: ExperimentConfig):
                 log2_hashmap_size=m.log2_hashmap_size,
                 max_res=m.max_res,
                 gather_dtype=m.compute_dtype,
+                layout=m.hash_layout,
             ),
             embedding=emb_lib.EmbeddingConfig(
                 embedding_type=m.embed_config.embedding_type,

@@ -54,10 +54,19 @@ def sorted_window_accumulate(
     max_updates = _round_up(max(window, max_updates_factor * mean_per_window), 256)
     max_updates = min(max_updates, _round_up(m, 256))
 
-    operands = [idx] + [grads[:, f] for f in range(F)]
-    sorted_ops = jax.lax.sort(operands, num_keys=1)
-    si = sorted_ops[0]
-    sg = jnp.stack(sorted_ops[1:], axis=1)  # (m, F)
+    if F <= 4:
+        # narrow updates ride the sort directly as payload columns
+        operands = [idx] + [grads[:, f] for f in range(F)]
+        sorted_ops = jax.lax.sort(operands, num_keys=1)
+        si = sorted_ops[0]
+        sg = jnp.stack(sorted_ops[1:], axis=1)  # (m, F)
+    else:
+        # wide updates: sort (idx, position) then permute the rows with a
+        # row gather — ~6 ns/row on TPU vs sorting F payload columns
+        si, order = jax.lax.sort(
+            [idx, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+        )
+        sg = jnp.take(grads, order, axis=0)
 
     # pad the sorted stream so every window slice is in bounds; pad indices sit
     # beyond the last window so the one-hot mask never matches them
@@ -151,6 +160,33 @@ def _take_rows_bwd(res, g):
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@jax.custom_vjp
+def take_rows_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(T, W) table, (m,) int idx -> (m, W) rows. Differentiable in `table`.
+
+    The hot-path row gather of the blocked hash layout: forward is a plain
+    row gather (latency-bound, ~6 ns/row on TPU); backward avoids the
+    ~90 ns/row TPU scatter via the sorted windowed-matmul accumulate.
+    """
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_blocked_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table)
+
+
+def _take_rows_blocked_bwd(res, g):
+    idx, table = res
+    T, W = table.shape
+    if _use_windowed_bwd(idx.shape[0]):
+        dt = sorted_window_accumulate(idx, g.astype(table.dtype), T, window=128)
+        return dt.astype(table.dtype), None
+    return jnp.zeros_like(table).at[idx].add(g.astype(table.dtype)), None
+
+
+take_rows_blocked.defvjp(_take_rows_blocked_fwd, _take_rows_blocked_bwd)
 
 
 @jax.custom_vjp
