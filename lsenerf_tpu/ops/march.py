@@ -128,13 +128,27 @@ def march_rays(
     )
     keep = occ & in_range  # (n, m)
 
-    # compact the first k kept candidates per ray into the sample buffers
-    slot = jnp.cumsum(keep, axis=1) - 1  # (n, m) target slot per candidate
-    valid_write = keep & (slot < k)
+    # Compact kept candidates into the per-ray budget. When more than k
+    # candidates survive the occupancy test (e.g. a fresh fully-dense grid),
+    # taking the FIRST k would confine samples to a thin shell near the
+    # camera and training could never see the scene (the occupancy grid then
+    # never decays — a startup deadlock the reference avoids by evaluating
+    # ALL survivors as a variable-length packed list). Instead select every
+    # stride-th survivor (stride = ceil(count / k)) and widen each selected
+    # interval's dt by the stride: a stratified quadrature of the same
+    # transmittance integral that spans the full occupied range. Once the
+    # grid converges (count <= k) stride == 1 and this is exact.
+    slot = jnp.cumsum(keep, axis=1) - 1  # (n, m) rank among kept candidates
+    count_all = jnp.sum(keep, axis=1)  # (n,)
+    stride = jnp.maximum((count_all + k - 1) // k, 1)[:, None]  # (n, 1)
+    sel = keep & (slot % stride == 0)
+    out_slot = slot // stride  # < k by construction
+    valid_write = sel
     ray_ids = jnp.broadcast_to(
         jnp.arange(n)[:, None], slot.shape
     )
-    flat_slot = jnp.where(valid_write, ray_ids * k + slot, n * k)  # oob -> drop
+    flat_slot = jnp.where(valid_write, ray_ids * k + out_slot, n * k)  # oob -> drop
+    dts = (t1s - t0s) * stride.astype(t1s.dtype)  # stride-widened quadrature
     t_starts = (
         jnp.zeros((n * k,), t0s.dtype).at[flat_slot.reshape(-1)].set(
             t0s.reshape(-1), mode="drop"
@@ -142,7 +156,7 @@ def march_rays(
     ).reshape(n, k)
     t_ends = (
         jnp.zeros((n * k,), t1s.dtype).at[flat_slot.reshape(-1)].set(
-            t1s.reshape(-1), mode="drop"
+            (t0s + dts).reshape(-1), mode="drop"
         )
     ).reshape(n, k)
     count = jnp.sum(valid_write, axis=1)  # (n,)

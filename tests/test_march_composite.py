@@ -59,15 +59,51 @@ def test_candidate_ts_zero_cone_uniform():
     np.testing.assert_allclose(got, 1.0 + 0.1 * np.arange(17), atol=1e-5)
 
 
-def test_march_full_grid_contiguous_from_entry():
+def test_march_full_grid_spans_range_from_entry():
+    """A fresh fully-dense grid has more survivors than the budget: the
+    stride selection must spread samples across the WHOLE occupied range
+    (first-k would confine them near the camera — the startup deadlock),
+    with dt widened by the stride so the transmittance quadrature still
+    covers the skipped space."""
     state = occ_lib.init_occ_grid(SMALL_GRID)  # fully occupied
     bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
     s = march.march_rays(bundle, state, SMALL_GRID, MARCH)
     m = np.asarray(s.mask[0])
-    assert m.sum() == MARCH.max_samples  # plenty of occupied space
-    # contiguous intervals starting at the outer aabb entry (t=1 for 2-level grid)
+    # ceil(count/stride) samples land in (k/2, k]
+    assert MARCH.max_samples // 2 < m.sum() <= MARCH.max_samples
     t0 = np.asarray(s.t_starts[0])
+    t1 = np.asarray(s.t_ends[0])
+    # starts at the outer aabb entry (t=1 for 2-level grid)
     assert abs(t0[0] - 1.0) < 0.05
+    # ...and reaches most of the range to the exit/far limit
+    outer_half = SMALL_GRID.aabb_scale * 2.0 ** (SMALL_GRID.levels - 1)
+    t_exit = outer_half + 3.0  # ray from x=-3 exits at x=+outer_half
+    t_hi = min(t_exit, MARCH.far_plane)
+    assert t1[m.sum() - 1] > 0.8 * t_hi
+    # strided quadrature: union of widened intervals ~ the full span
+    covered = (t1 - t0)[: m.sum()].sum()
+    span = t1[m.sum() - 1] - t0[0]
+    assert covered > 0.7 * span
+    # monotone, non-overlapping starts
+    assert (np.diff(t0[: m.sum()]) > 0).all()
+
+
+def test_march_under_budget_is_exact_contiguous():
+    """When survivors fit the budget (converged grid), stride == 1 and the
+    intervals are exactly the contiguous candidate intervals."""
+    state = occ_lib.init_occ_grid(SMALL_GRID)
+    cfg = march.MarchConfig(
+        render_step_size=MARCH.render_step_size,
+        cone_angle=MARCH.cone_angle,
+        max_samples=MARCH.max_samples,
+        max_candidates=MARCH.max_candidates,
+        far_plane=1.0 + MARCH.max_samples * MARCH.render_step_size * 0.5,
+    )
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+    s = march.march_rays(bundle, state, SMALL_GRID, cfg)
+    m = np.asarray(s.mask[0])
+    assert 0 < m.sum() < MARCH.max_samples
+    t0 = np.asarray(s.t_starts[0])
     np.testing.assert_allclose(
         t0[1 : m.sum()], np.asarray(s.t_ends[0])[: m.sum() - 1], atol=1e-5
     )
