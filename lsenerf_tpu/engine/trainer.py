@@ -174,6 +174,7 @@ class Trainer:
         model_config: model_lib.ModelConfig,
         dm: MultiCamDataManager,
         eval_dataset=None,
+        all_cameras=None,
     ):
         self.config = config
         self.model_config = model_config.normalized()
@@ -184,7 +185,13 @@ class Trainer:
         self.col_spline_params, self.col_spline_static = None, None
         cc = config.col_cam_opt
         if cc.optim_type == "spline":
-            cams = dm.col.cameras
+            # Spline knots come from the FULL color trajectory when available
+            # (reference lse_datamanager.py:288-291 feeds get_all_cameras into
+            # the optimizer's build_control_pnts), not just the train split —
+            # event timestamps fall between RGB keyframes and need the dense
+            # prior. Fall back to the train cameras when no parser exists
+            # (synthetic scenes expose every camera as the train split).
+            cams = all_cameras if all_cameras is not None else dm.col.cameras
             dM = getattr(dm.col, "dM", None)
             self.col_spline_params, self.col_spline_static = pose_opt.init_spline(
                 np.asarray(

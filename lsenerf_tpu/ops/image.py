@@ -26,13 +26,16 @@ def to_gray(img: jnp.ndarray) -> jnp.ndarray:
 def lin_log(x: jnp.ndarray, threshold: float = 20.0) -> jnp.ndarray:
     """Linear below `threshold`, logarithmic above (event-camera response model).
 
-    Input range 0-255. Computed in float64 then cast back like the reference
-    (lsenerf.py:123-135) to keep the transition point exact.
+    Input range 0-255. The reference (lsenerf.py:123-135) promotes to float64
+    for the computation; we stay in float32 (JAX x64 is disabled for TPU) —
+    the max deviation from the f64 result over the full 0-255 grid is < 3e-4
+    absolute (~2e-5 relative, XLA's f32 log approximation), measured by
+    tests/test_losses_mappers.py::test_lin_log_f32_matches_f64_oracle.
     """
-    x64 = x.astype(jnp.float64)
+    x = x.astype(jnp.float32)
     f = (1.0 / threshold) * jnp.log(threshold)
-    y = jnp.where(x64 <= threshold, x64 * f, jnp.log(x64))
-    return y.astype(jnp.float32)
+    y = jnp.where(x <= threshold, x * f, jnp.log(x))
+    return y
 
 
 def solve_normal_equations(pred_log: jnp.ndarray, gt_log: jnp.ndarray):

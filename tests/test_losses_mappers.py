@@ -26,6 +26,17 @@ def test_lin_log():
     np.testing.assert_allclose(y[3], np.log(100.0), atol=1e-4)
 
 
+def test_lin_log_f32_matches_f64_oracle():
+    # The reference computes lin_log in float64 (lsenerf.py:123-135); our f32
+    # path must stay within float32 resolution of that over the full 0-255
+    # intensity grid, including the linear/log transition point.
+    x = np.linspace(0.0, 255.0, 8161, dtype=np.float64)
+    f = np.log(20.0) / 20.0
+    oracle = np.where(x <= 20.0, x * f, np.log(np.maximum(x, 1e-300)))
+    got = np.asarray(image.lin_log(jnp.asarray(x, dtype=jnp.float32)))
+    np.testing.assert_allclose(got, oracle.astype(np.float32), atol=3e-4, rtol=0)
+
+
 def test_log_loss_zero_when_consistent():
     # if next = prev * exp(evs), the loss is ~0
     rng = np.random.default_rng(0)

@@ -150,3 +150,32 @@ def test_color_train_ts_and_max_app(tmp_path):
     ts = parser.color_train_ts()
     np.testing.assert_allclose(ts, [0.0, 1000.0, 2000.0, 3000.0])
     assert parser.max_appearance_id() == 6
+
+
+def test_spline_knots_use_full_trajectory(tmp_path):
+    # Reference builds spline control points from get_all_cameras (the full
+    # trajectory, lse_datamanager.py:288-291), not the train split. With the
+    # 6-camera fixture (train_ids [0..3]), all_color_cameras() drops only the
+    # last json -> 5 knots at t = 0..4000; the train split alone would give 4.
+    from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+    from lsenerf_tpu.engine.trainer import CameraOptConfig, Trainer, TrainerConfig
+
+    root, _, _ = make_scene_dir(str(tmp_path))
+    sp = SceneParser(root)
+    col = sp.parse_color("train")
+    dm = MultiCamDataManager(
+        DataManagerConfig(train_num_rays_per_batch=32, rgb_frac=1.0), col, None
+    )
+    tr_cfg = TrainerConfig(
+        col_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="spline")
+    )
+    from lsenerf_tpu.models import lsenerf as model_lib
+
+    all_cams = sp.all_color_cameras()
+    trainer = Trainer(tr_cfg, model_lib.ModelConfig(), dm, all_cameras=all_cams)
+    np.testing.assert_allclose(
+        trainer.col_spline_static.ctrl_ts, [0.0, 1000.0, 2000.0, 3000.0, 4000.0]
+    )
+    # fallback: without all_cameras the knots cover only the train split
+    trainer_trainsplit = Trainer(tr_cfg, model_lib.ModelConfig(), dm)
+    assert len(trainer_trainsplit.col_spline_static.ctrl_ts) == 4

@@ -70,8 +70,13 @@ def main(argv=None):
     trainer_cfg, model_cfg, dm_cfg, parser_cfg = config_lib.build_runtime_configs(
         config
     )
-    col, evs, eval_ds, _ = build_datasets(config, parser_cfg)
+    col, evs, eval_ds, sp = build_datasets(config, parser_cfg)
     dm = MultiCamDataManager(dm_cfg, col, evs, seed=config.machine.seed)
+
+    # full-trajectory spline knots (reference lse_datamanager.py:288-291)
+    all_cameras = None
+    if sp is not None and trainer_cfg.col_cam_opt.optim_type == "spline":
+        all_cameras = sp.all_color_cameras()
 
     # multi-host / multi-device: one process per host, all local devices in a
     # 1-D data mesh (reference used mp.spawn+NCCL per GPU, train.py:114-234)
@@ -90,7 +95,9 @@ def main(argv=None):
         mesh_lib.round_rays_to_mesh(dm_cfg, mesh)
         print(f"[lsenerf-tpu] data-parallel over {n_dev} devices")
 
-    trainer = Trainer(trainer_cfg, model_cfg, dm, eval_dataset=eval_ds)
+    trainer = Trainer(
+        trainer_cfg, model_cfg, dm, eval_dataset=eval_ds, all_cameras=all_cameras
+    )
     state = trainer.setup(jax.random.PRNGKey(config.machine.seed))
     if mesh is not None:
         from lsenerf_tpu.parallel import mesh as mesh_lib
