@@ -60,19 +60,39 @@ def ssim(
     return jnp.mean(num / den)
 
 
+def discover_lpips_weights() -> str | None:
+    """Locate an exported LPIPS weights .npz (scripts/export_lpips.py).
+
+    Search order: $LSENERF_LPIPS_WEIGHTS, then <repo>/assets/lpips_alex.npz.
+    Returns None when nothing is found (eval then reports lpips = NaN).
+    """
+    import os
+    import os.path as osp
+
+    env = os.environ.get("LSENERF_LPIPS_WEIGHTS")
+    if env and osp.exists(env):
+        return env
+    root = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    cand = osp.join(root, "assets", "lpips_alex.npz")
+    return cand if osp.exists(cand) else None
+
+
 class LPIPSMetric:
     """Optional learned perceptual metric.
 
     The reference uses torchmetrics' LPIPS (a pretrained AlexNet/VGG,
     lsenerf.py:207). This environment has no network access to fetch pretrained
     weights, so LPIPS is exposed as a pluggable hook: if a weights file is
-    provided (numpy .npz of conv weights + linear heads), a JAX forward pass is
-    used; otherwise the metric reports NaN and eval continues.
+    provided (numpy .npz exported by scripts/export_lpips.py) or discovered via
+    discover_lpips_weights(), a JAX forward pass is used; otherwise the metric
+    reports NaN and eval continues.
     """
 
     def __init__(self, weights_path: str | None = None):
         self.available = False
         self.params = None
+        if weights_path is None:
+            weights_path = discover_lpips_weights()
         if weights_path is not None:
             try:
                 self.params = dict(np.load(weights_path))
@@ -97,11 +117,18 @@ def _lpips_forward(params: dict, gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndar
         return (x - params["shift"]) / params["scale"]
 
     def features(x):
+        # LPIPS taps each stage's relu output BEFORE the maxpool that feeds
+        # the next conv (lpips pretrained_networks.alexnet slices: conv-relu |
+        # pool-conv-relu | pool-conv-relu | conv-relu | conv-relu).
         feats = []
         i = 0
         strides = params.get("strides", np.array([4, 2, 1, 1, 1]))
         pads = params.get("pads", np.array([2, 2, 1, 1, 1]))
         while f"conv{i}_w" in params:
+            if i in (1, 2):
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
+                )
             w = params[f"conv{i}_w"]
             p = int(pads[i]) if i < len(pads) else 1
             s = int(strides[i]) if i < len(strides) else 1
@@ -111,10 +138,6 @@ def _lpips_forward(params: dict, gt: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndar
             if f"conv{i}_b" in params:
                 x = x + params[f"conv{i}_b"].reshape(1, -1, 1, 1)
             x = jax.nn.relu(x)
-            if i in (0, 1):
-                x = jax.lax.reduce_window(
-                    x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
-                )
             feats.append(x)
             i += 1
         return feats

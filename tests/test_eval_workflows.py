@@ -47,7 +47,13 @@ def run_train(tmp_path, extra=None, iters=30):
 
 def test_eval_workflow(tmp_path, monkeypatch):
     """scripts/eval.sh semantics: reload config, strip cameras, pose-only
-    refinement, full-image eval with metrics JSON."""
+    refinement, full-image eval with metrics JSON (incl. LPIPS via exported
+    weights, reference lsenerf.py:205-207)."""
+    from tests.test_lpips import make_weights
+
+    lpips_path = str(tmp_path / "lpips_test.npz")
+    make_weights(lpips_path)
+    monkeypatch.setenv("LSENERF_LPIPS_WEIGHTS", lpips_path)
     monkeypatch.chdir(tmp_path)
     run_dir = run_train(tmp_path)
     assert glob.glob(osp.join(run_dir, "checkpoints", "step-*"))
@@ -71,6 +77,7 @@ def test_eval_workflow(tmp_path, monkeypatch):
     assert eval_runs, "eval produced no eval_mean.json"
     means = json.load(open(eval_runs[-1]))
     assert "psnr" in means and np.isfinite(means["psnr"])
+    assert "lpips" in means and np.isfinite(means["lpips"])
     assert "_eval_zero" in eval_runs[-1]
 
 

@@ -1,0 +1,129 @@
+"""LPIPS forward parity against an independent torch oracle.
+
+The reference reports LPIPS from torchmetrics' pretrained AlexNet
+(lsenerf.py:205-207). Pretrained weights cannot be downloaded in this
+environment, so these tests generate a small random AlexNet-shaped weight set
+(the exact .npz layout scripts/export_lpips.py produces) and check our JAX
+forward (`ops/metrics._lpips_forward`) against a from-scratch torch
+re-implementation of the LPIPS architecture: scaling layer, conv-relu stages
+with maxpools BETWEEN taps, unit-normalized features, non-negative 1x1 linear
+heads, spatial average, layer sum.
+"""
+
+import os.path as osp
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsenerf_tpu.ops import metrics as metric_ops
+
+# AlexNet-shaped but thin: (out_ch, in_ch, k) per stage, real strides/pads
+STAGES = [(8, 3, 11), (12, 8, 5), (16, 12, 3), (16, 16, 3), (16, 16, 3)]
+STRIDES = [4, 2, 1, 1, 1]
+PADS = [2, 2, 1, 1, 1]
+
+
+def make_weights(path: str, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    out = {
+        # the real LPIPS scaling-layer constants
+        "shift": np.array([-0.030, -0.088, -0.188], np.float32).reshape(1, 3, 1, 1),
+        "scale": np.array([0.458, 0.448, 0.450], np.float32).reshape(1, 3, 1, 1),
+        "strides": np.array(STRIDES, np.int32),
+        "pads": np.array(PADS, np.int32),
+    }
+    for i, (o, c, k) in enumerate(STAGES):
+        out[f"conv{i}_w"] = rng.normal(0, 0.2, (o, c, k, k)).astype(np.float32)
+        out[f"conv{i}_b"] = rng.normal(0, 0.1, (o,)).astype(np.float32)
+        out[f"lin{i}_w"] = np.abs(
+            rng.normal(0, 0.5, (1, o, 1, 1)).astype(np.float32)
+        )
+    np.savez(path, **out)
+    return out
+
+
+def torch_lpips_oracle(params: dict, gt: np.ndarray, pred: np.ndarray) -> float:
+    """Independent LPIPS forward in torch, mirroring the lpips package."""
+    import torch
+    import torch.nn.functional as F
+
+    def prep(img):
+        x = torch.from_numpy(np.moveaxis(img, -1, 0).copy()).float()[None]
+        x = x * 2.0 - 1.0
+        shift = torch.from_numpy(params["shift"]).float()
+        scale = torch.from_numpy(params["scale"]).float()
+        return (x - shift) / scale
+
+    def feats(x):
+        taps = []
+        for i in range(len(STAGES)):
+            if i in (1, 2):
+                x = F.max_pool2d(x, 3, 2)
+            x = F.conv2d(
+                x,
+                torch.from_numpy(params[f"conv{i}_w"]).float(),
+                torch.from_numpy(params[f"conv{i}_b"]).float(),
+                stride=STRIDES[i],
+                padding=PADS[i],
+            )
+            x = F.relu(x)
+            taps.append(x)
+        return taps
+
+    total = 0.0
+    for i, (a, b) in enumerate(zip(feats(prep(gt)), feats(prep(pred)))):
+        a = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        b = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        d = (a - b) ** 2
+        w = torch.from_numpy(params[f"lin{i}_w"]).float()
+        total = total + (d * w).sum(1).mean()
+    return float(total)
+
+
+@pytest.fixture()
+def weights(tmp_path):
+    path = str(tmp_path / "lpips_test.npz")
+    params = make_weights(path)
+    return path, params
+
+
+def test_lpips_matches_torch_oracle(weights):
+    path, params = weights
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.1, gt.shape), 0, 1).astype(np.float32)
+
+    metric = metric_ops.LPIPSMetric(path)
+    assert metric.available
+    got = metric(jnp.asarray(gt), jnp.asarray(pred))
+    want = torch_lpips_oracle(params, gt, pred)
+    assert want > 0
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_lpips_zero_on_identical(weights):
+    path, _ = weights
+    img = np.random.default_rng(2).uniform(size=(64, 64, 3)).astype(np.float32)
+    metric = metric_ops.LPIPSMetric(path)
+    assert abs(metric(jnp.asarray(img), jnp.asarray(img))) < 1e-8
+
+
+def test_lpips_auto_discovery(weights, monkeypatch):
+    path, _ = weights
+    # without any weights source: NaN hook, eval continues
+    monkeypatch.delenv("LSENERF_LPIPS_WEIGHTS", raising=False)
+    assert not osp.exists(
+        osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "assets",
+                 "lpips_alex.npz")
+    ), "checked-in assets/lpips_alex.npz would change this test's premise"
+    assert np.isnan(metric_ops.LPIPSMetric()(jnp.zeros((8, 8, 3)),
+                                             jnp.zeros((8, 8, 3))))
+    # env-var discovery
+    monkeypatch.setenv("LSENERF_LPIPS_WEIGHTS", path)
+    metric = metric_ops.LPIPSMetric()
+    assert metric.available
+    rng = np.random.default_rng(3)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    assert np.isfinite(metric(jnp.asarray(a), jnp.asarray(b)))
