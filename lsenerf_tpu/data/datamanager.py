@@ -28,6 +28,10 @@ class DataManagerConfig:
     rgb_frac: float = 0.66
     rgb_loss_mode: str = "mse"  # "mse" | "deblur"
     eval_num_rays_per_batch: int = 1024
+    use_native: bool = False  # C++ prefetcher (native/fastloader.cpp)
+    # multi-host: this process samples 1/num_hosts of each (global) budget;
+    # set by parallel.mesh.round_rays_to_mesh
+    num_hosts: int = 1
 
     def __post_init__(self):
         self.rgb_loss_mode = self.rgb_loss_mode.lower()
@@ -60,14 +64,14 @@ class MultiCamDataManager:
         col_dataset: Optional[ColorDataset],
         evs_dataset: Optional[EventFrameDataset] = None,
         seed: int = 0,
-        use_native: bool = False,
+        use_native: Optional[bool] = None,
     ):
         self.config = config
         self.col = col_dataset
         self.evs = evs_dataset
         self.rng = np.random.default_rng(seed)
         self.native = None
-        if use_native:
+        if use_native if use_native is not None else config.use_native:
             self.native = self._build_native(seed)
         self.num_embd = 1
         ids = []
@@ -86,16 +90,18 @@ class MultiCamDataManager:
         if not nl.native_available():
             return None
         col_u8 = None
-        n_col = self.config.train_num_col_rays_per_batch
+        n_col = self.config.train_num_col_rays_per_batch // self.config.num_hosts
         if self.col is not None and n_col > 0:
             col_u8 = np.ascontiguousarray(
                 np.clip(self.col.images * 255, 0, 255).astype(np.uint8)
             )
         evs_f32 = None
-        n_evs = self.config.train_num_evs_rays_per_batch
+        n_evs = self.config.train_num_evs_rays_per_batch // self.config.num_hosts
         img_limit = 0
         if self.evs is not None and n_evs > 0:
-            evs_f32 = np.ascontiguousarray(self.evs.eimgs.astype(np.float32))
+            evs_f32 = np.ascontiguousarray(
+                np.asarray(self.evs.eimgs, dtype=np.float32)
+            )
             img_limit = (
                 len(evs_f32)
                 if self.evs.prev_cameras is not None
@@ -129,7 +135,7 @@ class MultiCamDataManager:
         if self.native is not None:
             return self._next_train_native()
         batch = {}
-        n_col = self.config.train_num_col_rays_per_batch
+        n_col = self.config.train_num_col_rays_per_batch // self.config.num_hosts
         if n_col > 0 and self.col is not None:
             imgs = self.col.images
             c, y, x = self._sample_pixels(n_col, len(imgs), *imgs.shape[1:3])
@@ -137,7 +143,7 @@ class MultiCamDataManager:
             batch["col_rgb"] = imgs[c, y, x]
             batch["col_app_id"] = self.col.appearance_ids[c]
 
-        n_evs = self.config.train_num_evs_rays_per_batch
+        n_evs = self.config.train_num_evs_rays_per_batch // self.config.num_hosts
         if n_evs > 0 and self.evs is not None:
             ev = self.evs.eimgs
             n_frames = len(ev)

@@ -34,6 +34,40 @@ class ColorDataset:
         return len(self.images)
 
 
+class LazyFrameArray:
+    """Frame-subset view over an on-disk .npy (np.memmap) that never
+    materializes the full stack.
+
+    The reference CacheDataloader keeps only sampled image subsets in RAM
+    (lse_datamanager.py:258-283); the TPU data path goes further: event
+    frames stay on disk and every batch gather `eimgs[(c, y, x)]` translates
+    the frame index through `sel` then reads just the touched pages of the
+    memmap. A trailing channel axis is added at access time so callers see
+    the same (n, h, w, 1) contract as an eager array.
+    """
+
+    def __init__(self, src: np.ndarray, sel: np.ndarray):
+        self.src = src
+        self.sel = np.asarray(sel, np.int64)
+        self.shape = (len(self.sel), *src.shape[1:3], 1)
+        self.dtype = src.dtype
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            c, *rest = idx
+            return self.src[(self.sel[c], *rest)][..., None]
+        if isinstance(idx, slice):
+            return LazyFrameArray(self.src, self.sel[idx])
+        return self.src[self.sel[idx]][..., None]
+
+    def __array__(self, dtype=None):
+        out = np.asarray(self.src[self.sel])[..., None]
+        return out if dtype is None else out.astype(dtype)
+
+
 @dataclass
 class EventFrameDataset:
     """Event frames: per-pixel brightness-change counts between two poses."""
@@ -52,7 +86,9 @@ class EventFrameDataset:
         if len(self.eimgs) > 1000:
             self.eimgs = self.eimgs[:-8]
         if self.e_thresh == 1 and self.msk is not None:
-            self.eimgs = np.clip(self.eimgs / 255.0, 0, 1)
+            # EVIMO-style normalized frames: a full-array transform, so this
+            # branch materializes a lazy view (np.asarray -> __array__)
+            self.eimgs = np.clip(np.asarray(self.eimgs) / 255.0, 0, 1)
 
     def __len__(self):
         return len(self.eimgs)

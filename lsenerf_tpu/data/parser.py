@@ -27,7 +27,11 @@ from typing import Optional
 import numpy as np
 
 from lsenerf_tpu.cameras.cameras import Cameras
-from lsenerf_tpu.data.dataset import ColorDataset, EventFrameDataset
+from lsenerf_tpu.data.dataset import (
+    ColorDataset,
+    EventFrameDataset,
+    LazyFrameArray,
+)
 
 
 def load_json(path):
@@ -253,8 +257,11 @@ class SceneParser:
         dataset_meta = load_json(osp.join(d, "dataset.json"))
         data_idxs = sorted(int(e) for e in dataset_meta["train_ids"])
 
+        # Event frames stay memmapped through batch gathers (multi-GB for
+        # >1000-frame VGA sets); see LazyFrameArray. The reference bounds RAM
+        # differently via CacheDataloader subsets (lse_datamanager.py:258-283).
         src = np.load(osp.join(d, "eimgs", "eimgs_1x.npy"), mmap_mode="r")
-        eimgs = np.stack([src[i] for i in data_idxs])[..., None]
+        eimgs = LazyFrameArray(src, data_idxs)
 
         prev_dir = osp.join(d, "prev_camera")
         prev_cams = next_cams = None
@@ -284,7 +291,7 @@ class SceneParser:
         appearance_ids = np.asarray([app_ids[i] for i in data_idxs], np.int32)
 
         return EventFrameDataset(
-            eimgs=np.ascontiguousarray(eimgs),
+            eimgs=eimgs,
             cameras=cams,
             e_thresh=e_thresh,
             appearance_ids=appearance_ids,

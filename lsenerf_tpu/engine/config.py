@@ -105,6 +105,9 @@ class DataManagerCLI:
     eval_num_rays_per_batch: int = 1024
     rgb_frac: float = 0.66
     rgb_loss_mode: str = "mse"
+    # C++ double-buffered batch prefetcher (native/fastloader.cpp); falls back
+    # to the numpy sampler when the shared library is unavailable
+    use_native: bool = False
     col_cam_optimizer: CameraOptConfig = dc_field(default_factory=CameraOptConfig)
     evs_cam_optimizer: CameraOptConfig = dc_field(default_factory=CameraOptConfig)
 
@@ -465,6 +468,7 @@ def build_runtime_configs(config: ExperimentConfig):
         rgb_frac=dm.rgb_frac,
         rgb_loss_mode=dm.rgb_loss_mode,
         eval_num_rays_per_batch=dm.eval_num_rays_per_batch,
+        use_native=dm.use_native,
     )
 
     e_thresh = dm.evs_dataparser.e_thresh

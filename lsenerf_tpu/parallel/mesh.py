@@ -33,36 +33,77 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh.
+
+    Multi-host: every process must hold the same host values (deterministic
+    init from the same seed guarantees this); each contributes its local copy
+    and the result is one global fully-replicated jax.Array per leaf.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        tree,
+    )
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data"):
-    """Shard every batch array along its leading (ray) axis.
+    """Assemble the global sharded batch from this process's local arrays.
+
+    Single-host: a plain device_put with a P(axis) sharding over the leading
+    (ray) axis. Multi-host (the reference's multi-node DDP capability,
+    train.py:156-162,206-213): every process contributes its LOCAL sample —
+    1/num_processes of the global ray budget, drawn with a per-host RNG
+    offset (see round_rays_to_mesh / train.py seed plumbing) — and
+    `jax.make_array_from_process_local_data` stitches them into one global
+    jax.Array without any cross-host transfer of ray data.
 
     Ray counts must divide the mesh size — use `round_rays_to_mesh` on the
-    DataManagerConfig budget.
+    DataManagerConfig budget first.
     """
     n_dev = mesh.devices.size
+    n_proc = jax.process_count()
 
     def place(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n_dev == 0:
-            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        if x.ndim >= 1 and (x.shape[0] * n_proc) % n_dev == 0 and x.shape[0] > 0:
+            sharding = NamedSharding(mesh, P(axis))
+            if n_proc == 1:
+                return jax.device_put(x, sharding)
+            global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
+        # non-divisible / scalar entries must be host-invariant (constants
+        # like e_thresh); replicate
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return {k: place(v) for k, v in batch.items()}
 
 
 def round_rays_to_mesh(dm_config, mesh: Mesh):
-    """Round the per-branch ray budgets down to multiples of the mesh size
-    (replaces the reference's per-rank independent sampling)."""
+    """Fit the per-branch ray budgets to the mesh.
+
+    The config budgets stay GLOBAL (they define the jitted step's static
+    shapes): rounded down to multiples of the mesh size. Each process then
+    samples only its 1/num_processes share, recorded in
+    `dm_config.local_batch_frac` and honored by MultiCamDataManager
+    (replaces the reference's per-rank independent full-size sampling —
+    here the global batch is the invariant, so single-chip and multi-chip
+    runs see identical optimization hyperparameters).
+    """
     n = mesh.devices.size
-    dm_config.train_num_col_rays_per_batch -= (
-        dm_config.train_num_col_rays_per_batch % n
+    n_proc = jax.process_count()
+    # global budgets must split evenly across processes AND devices
+    lcm = np.lcm(n, n_proc)
+    dm_config.train_num_col_rays_per_batch -= int(
+        dm_config.train_num_col_rays_per_batch % lcm
     )
-    dm_config.train_num_evs_rays_per_batch -= (
-        dm_config.train_num_evs_rays_per_batch % n
+    dm_config.train_num_evs_rays_per_batch -= int(
+        dm_config.train_num_evs_rays_per_batch % lcm
     )
+    dm_config.num_hosts = n_proc
     return dm_config

@@ -1,0 +1,95 @@
+"""Subprocess worker for the 2-process multi-host smoke test.
+
+Run by tests/test_multihost.py, one instance per simulated host:
+    python multihost_worker.py <process_id> <coordinator_port>
+
+Each process owns 2 virtual CPU devices (4-device global mesh over Gloo
+collectives), samples its half of the global ray budget with a rank-offset
+seed (reference train.py:104 seeds by rank), assembles the global batch via
+`shard_batch` / `jax.make_array_from_process_local_data`, and runs two train
+steps. It prints `loss0=<repr> loss1=<repr>` — the parent asserts both
+processes report identical losses, i.e. the global computation is consistent
+across hosts (the invariant the reference gets from DDP + NCCL,
+/root/reference/train.py:156-162,206-213).
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid, port = int(sys.argv[1]), int(sys.argv[2])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", False)
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+    import numpy as np
+
+    from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+    from lsenerf_tpu.data.synthetic import make_synthetic_scene
+    from lsenerf_tpu.engine.trainer import CameraOptConfig, Trainer, TrainerConfig
+    from lsenerf_tpu.models import field as field_lib
+    from lsenerf_tpu.models import lsenerf as model_lib
+    from lsenerf_tpu.ops import hash_encoding as he
+    from lsenerf_tpu.ops import occupancy as occ_lib
+    from lsenerf_tpu.parallel import mesh as mesh_lib
+
+    model_cfg = model_lib.ModelConfig(
+        field=field_lib.FieldConfig(
+            hash=he.HashEncodingConfig(
+                num_levels=4, log2_hashmap_size=10, base_res=8, max_res=64
+            ),
+            use_contraction=False,
+        ),
+        grid=occ_lib.OccGridConfig(resolution=16, levels=1),
+        max_samples=16,
+        max_candidates=64,
+        far_plane=5.0,
+        render_step_size=0.1,
+    )
+    # identical scene + model init on both hosts (same seeds)
+    col, evs = make_synthetic_scene(n_cams=6, h=16, w=16, focal=20.0)
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=64, rgb_frac=0.66)
+
+    mesh = mesh_lib.make_mesh()
+    mesh_lib.round_rays_to_mesh(dm_cfg, mesh)
+    assert dm_cfg.num_hosts == 2
+
+    # rank-offset sampling seed: hosts draw DIFFERENT halves of the batch
+    dm = MultiCamDataManager(dm_cfg, col, evs, seed=jax.process_index())
+
+    trainer = Trainer(
+        TrainerConfig(
+            col_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="ns"),
+            evs_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="ns"),
+        ),
+        model_cfg,
+        dm,
+    )
+    state = mesh_lib.replicate(trainer.setup(jax.random.PRNGKey(0)), mesh)
+    train_step = trainer.make_train_step()
+
+    losses = []
+    for it in range(2):
+        local = dm.next_train(it)
+        n_col = dm_cfg.train_num_col_rays_per_batch // 2
+        assert local["col_indices"].shape[0] == n_col, local["col_indices"].shape
+        batch = mesh_lib.shard_batch(local, mesh)
+        # global batch carries both hosts' samples
+        assert batch["col_indices"].shape[0] == dm_cfg.train_num_col_rays_per_batch
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+
+    assert all(np.isfinite(l) for l in losses), losses
+    print(f"loss0={losses[0]!r} loss1={losses[1]!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

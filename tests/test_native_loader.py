@@ -74,3 +74,41 @@ def test_datamanager_native_backend_matches_schema():
     np.testing.assert_allclose(
         v, evs.eimgs[i[:, 0], i[:, 1], i[:, 2]] * evs.e_thresh, rtol=1e-5
     )
+
+
+def test_train_cli_uses_native_prefetcher(tmp_path, monkeypatch):
+    """--pipeline.datamanager.use-native True routes batches through the C++
+    prefetcher in a real train.py run (the flag exists for the reference's
+    CacheDataloader throughput role, lse_datamanager.py:258-283)."""
+    import train as train_cli
+
+    calls = {"n": 0}
+    orig_next = nl.NativePrefetcher.next
+
+    def spy(self):
+        calls["n"] += 1
+        return orig_next(self)
+
+    monkeypatch.setattr(nl.NativePrefetcher, "next", spy)
+    monkeypatch.chdir(tmp_path)
+    train_cli.main(
+        [
+            "lsenerf",
+            "--data", "synthetic",
+            "--max-num-iterations", "3",
+            "--steps-per-save", "1000000",
+            "--steps-per-eval-image", "1000000",
+            "--steps-per-eval-all-images", "1000000",
+            "--pipeline.datamanager.use-native", "True",
+            "--pipeline.datamanager.train_num_rays_per_batch", "64",
+            "--pipeline.model.num-levels", "2",
+            "--pipeline.model.log2-hashmap-size", "8",
+            "--pipeline.model.max-res", "32",
+            "--pipeline.model.grid-resolution", "8",
+            "--pipeline.model.grid-levels", "1",
+            "--pipeline.model.max-samples", "8",
+            "--pipeline.model.max-candidates", "16",
+            "--output-dir", str(tmp_path / "out"),
+        ]
+    )
+    assert calls["n"] >= 3

@@ -179,3 +179,46 @@ def test_spline_knots_use_full_trajectory(tmp_path):
     # fallback: without all_cameras the knots cover only the train split
     trainer_trainsplit = Trainer(tr_cfg, model_lib.ModelConfig(), dm)
     assert len(trainer_trainsplit.col_spline_static.ctrl_ts) == 4
+
+
+def test_parse_events_is_memmap_lazy(tmp_path):
+    # Event frames must stay on disk through batch gathers (VGA >1000-frame
+    # sets are multi-GB); parse_events returns a LazyFrameArray over the
+    # memmapped .npy rather than a materialized stack.
+    from lsenerf_tpu.data.dataset import LazyFrameArray
+
+    root, _, eimgs = make_scene_dir(str(tmp_path))
+    ds = SceneParser(root).parse_events()
+    assert isinstance(ds.eimgs, LazyFrameArray)
+    assert isinstance(ds.eimgs.src, np.memmap)
+    assert ds.eimgs.shape == (5, 12, 16, 1)
+    # batch-style tuple gather matches the eager values
+    rng = np.random.default_rng(0)
+    c = rng.integers(0, 5, size=32)
+    y = rng.integers(0, 12, size=32)
+    x = rng.integers(0, 16, size=32)
+    np.testing.assert_allclose(
+        ds.get_scaled((c, y, x))[:, 0], eimgs[c, y, x] * 0.25, atol=1e-6
+    )
+    # full materialization (native prefetcher path) round-trips
+    np.testing.assert_array_equal(np.asarray(ds.eimgs)[..., 0], eimgs)
+
+
+def test_lazy_frame_array_long_recording_drop():
+    # EventFrameDataset.__post_init__ drops the last 8 frames of >1000-frame
+    # recordings by slicing; the lazy view must honor that without copying.
+    from lsenerf_tpu.data.dataset import EventFrameDataset, LazyFrameArray
+
+    src = np.arange(1200 * 2 * 2, dtype=np.int16).reshape(1200, 2, 2)
+    lazy = LazyFrameArray(src, np.arange(1200))
+    ds = EventFrameDataset(
+        eimgs=lazy, cameras=None, e_thresh=0.1,
+        appearance_ids=np.zeros(1200, np.int32),
+    )
+    assert isinstance(ds.eimgs, LazyFrameArray)
+    assert len(ds) == 1192
+    np.testing.assert_allclose(
+        ds.get_scaled((np.array([1191]), np.array([1]), np.array([1])))[:, 0],
+        src[1191, 1, 1] * 0.1,
+        rtol=1e-6,
+    )

@@ -70,16 +70,11 @@ def main(argv=None):
     trainer_cfg, model_cfg, dm_cfg, parser_cfg = config_lib.build_runtime_configs(
         config
     )
-    col, evs, eval_ds, sp = build_datasets(config, parser_cfg)
-    dm = MultiCamDataManager(dm_cfg, col, evs, seed=config.machine.seed)
-
-    # full-trajectory spline knots (reference lse_datamanager.py:288-291)
-    all_cameras = None
-    if sp is not None and trainer_cfg.col_cam_opt.optim_type == "spline":
-        all_cameras = sp.all_color_cameras()
-
-    # multi-host / multi-device: one process per host, all local devices in a
-    # 1-D data mesh (reference used mp.spawn+NCCL per GPU, train.py:114-234)
+    # multi-host / multi-device: one process per host, all devices in a 1-D
+    # data mesh (reference used mp.spawn+NCCL per GPU, train.py:114-234).
+    # Must happen before the datamanager so the per-host budget split and the
+    # per-host sampling seed offset (reference seeds by rank, train.py:104)
+    # are in place.
     mesh = None
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
@@ -93,7 +88,20 @@ def main(argv=None):
         )
         mesh = mesh_lib.make_mesh(n_dev)
         mesh_lib.round_rays_to_mesh(dm_cfg, mesh)
-        print(f"[lsenerf-tpu] data-parallel over {n_dev} devices")
+        print(
+            f"[lsenerf-tpu] data-parallel over {n_dev} devices, "
+            f"{jax.process_count()} host(s)"
+        )
+
+    col, evs, eval_ds, sp = build_datasets(config, parser_cfg)
+    dm = MultiCamDataManager(
+        dm_cfg, col, evs, seed=config.machine.seed + jax.process_index()
+    )
+
+    # full-trajectory spline knots (reference lse_datamanager.py:288-291)
+    all_cameras = None
+    if sp is not None and trainer_cfg.col_cam_opt.optim_type == "spline":
+        all_cameras = sp.all_color_cameras()
 
     trainer = Trainer(
         trainer_cfg, model_cfg, dm, eval_dataset=eval_ds, all_cameras=all_cameras
