@@ -128,3 +128,92 @@ def make_synthetic_scene(
         appearance_ids=np.arange(n_cams - 1, dtype=np.int32),
     )
     return col, evs
+
+
+def gl_c2w_to_cv_json(c2w: np.ndarray) -> tuple:
+    """GL cam-to-world (3x4) -> (CV w2c orientation rows, camera position).
+
+    Exact inverse of parser.cv_to_working: GL c2w columns are
+    (right, -up_cv, -forward_cv), position is the camera center.
+    """
+    cols = c2w[:3, :3]
+    orientation = np.stack([cols[:, 0], -cols[:, 1], -cols[:, 2]])
+    return orientation, c2w[:3, 3]
+
+
+def write_reference_scene(
+    root: str,
+    n_cams: int = 12,
+    h: int = 64,
+    w: int = 64,
+    focal: float = 60.0,
+    e_thresh: float = 0.2,
+    n_val: int = 2,
+):
+    """Write the synthetic sphere scene in the reference on-disk layout.
+
+    Produces exactly the LSENeRF-formatter tree the parser consumes
+    (reference lse_parser.py: colcam_set/{camera,rgb/1x,dataset,metadata},
+    ecam_set/{camera,eimgs,dataset,scene,metadata}) so the parity harness
+    exercises the real parse -> train -> eval path end to end. Deterministic:
+    regenerating the scene produces byte-identical files.
+    """
+    import json
+    import os
+    import os.path as osp
+
+    from PIL import Image
+
+    col_ds, evs_ds = make_synthetic_scene(
+        n_cams=n_cams, h=h, w=w, focal=focal, e_thresh=e_thresh
+    )
+    c2ws = np.asarray(col_ds.cameras.camera_to_worlds)
+    times = np.asarray(col_ds.cameras.times)
+
+    def write_cam_dir(cam_dir):
+        os.makedirs(cam_dir, exist_ok=True)
+        for i in range(n_cams):
+            ori, pos = gl_c2w_to_cv_json(c2ws[i])
+            data = {
+                "orientation": ori.tolist(),
+                "position": pos.tolist(),
+                "focal_length": focal,
+                "principal_point": [w / 2.0, h / 2.0],
+                "image_size": [w, h],
+                "radial_distortion": [0.0, 0.0, 0.0],
+                "tangential_distortion": [0.0, 0.0],
+                "t": float(times[i]),
+            }
+            with open(osp.join(cam_dir, f"{i:06d}.json"), "w") as f:
+                json.dump(data, f, indent=1)
+
+    col = osp.join(root, "colcam_set")
+    evs = osp.join(root, "ecam_set")
+    write_cam_dir(osp.join(col, "camera"))
+    write_cam_dir(osp.join(evs, "camera"))
+
+    os.makedirs(osp.join(col, "rgb", "1x"), exist_ok=True)
+    for i in range(n_cams):
+        img8 = np.clip(col_ds.images[i] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        Image.fromarray(img8).save(osp.join(col, "rgb", "1x", f"{i:06d}.png"))
+
+    meta = {str(i): {"appearance_id": i} for i in range(n_cams)}
+    for d in (col, evs):
+        with open(osp.join(d, "metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    # the parser drops ids >= n_imgs - 1, so usable ids are [0, n_cams-2]
+    usable = list(range(n_cams - 1))
+    val_ids = usable[-n_val:]
+    train_ids = usable[: -n_val] if n_val else usable
+    with open(osp.join(col, "dataset.json"), "w") as f:
+        json.dump({"train_ids": train_ids, "val_ids": val_ids}, f)
+    with open(osp.join(evs, "dataset.json"), "w") as f:
+        json.dump({"train_ids": list(range(n_cams - 1))}, f)
+    with open(osp.join(evs, "scene.json"), "w") as f:
+        json.dump({"e_thresh": e_thresh}, f)
+
+    os.makedirs(osp.join(evs, "eimgs"), exist_ok=True)
+    counts = np.rint(np.asarray(evs_ds.eimgs)[..., 0]).astype(np.int16)
+    np.save(osp.join(evs, "eimgs", "eimgs_1x.npy"), counts)
+    return root

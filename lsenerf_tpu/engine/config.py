@@ -134,6 +134,7 @@ class ModelCLI:
     # field / grid capacity (NGP defaults, lse_field.py:130-137)
     num_levels: int = 16
     log2_hashmap_size: int = 19
+    base_res: int = 16
     max_res: int = 2048
     grid_resolution: int = 128
     grid_levels: int = 4
@@ -400,6 +401,7 @@ def build_runtime_configs(config: ExperimentConfig):
             hash=he.HashEncodingConfig(
                 num_levels=m.num_levels,
                 log2_hashmap_size=m.log2_hashmap_size,
+                base_res=m.base_res,
                 max_res=m.max_res,
                 gather_dtype=m.compute_dtype,
                 layout=m.hash_layout,

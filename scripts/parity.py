@@ -1,0 +1,146 @@
+"""Metric-parity harness: train -> eval -> compare metrics against a golden.
+
+Default mode writes the built-in golden scene (the synthetic sphere in the
+reference on-disk layout) to --workdir, runs the full CLI path
+(parse -> train -> eval -> eval_mean.json), and asserts PSNR/SSIM (and LPIPS
+when weights are available) within tolerance of scripts/golden_parity.json.
+
+Pointing --data at a real LSENeRF scene reproduces the reference protocol
+(reference scripts/eval.sh:9-19): seed 96, --steps 200010 for the headline
+runs, eval over the full val split. Example:
+
+    python scripts/parity.py --data /path/to/scene --steps 200010 \
+        --golden my_scene_golden.json --update-golden   # record
+    python scripts/parity.py --data /path/to/scene --steps 200010 \
+        --golden my_scene_golden.json                    # verify
+
+Exit code 0 = within tolerance, 1 = regression.
+"""
+
+import argparse
+import glob
+import json
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+GOLDEN_DEFAULT = osp.join(osp.dirname(osp.abspath(__file__)), "golden_parity.json")
+
+
+def find_eval_mean(run_root: str):
+    hits = sorted(
+        glob.glob(osp.join(run_root, "**", "eval_mean.json"), recursive=True),
+        key=os.path.getmtime,
+    )
+    return hits[-1] if hits else None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=None,
+                    help="scene dir; default = generated golden scene")
+    ap.add_argument("--workdir", default="outputs/parity")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--seed", type=int, default=96)
+    ap.add_argument("--golden", default=GOLDEN_DEFAULT)
+    ap.add_argument("--update-golden", action="store_true")
+    ap.add_argument("--tol-psnr", type=float, default=0.5,
+                    help="max |psnr - golden| in dB")
+    ap.add_argument("--tol-ssim", type=float, default=0.02)
+    ap.add_argument("--tol-lpips", type=float, default=0.02)
+    ap.add_argument("--tiny", action="store_true",
+                    help="fixture-scale model for CPU CI")
+    ap.add_argument("extra", nargs="*", help="extra train.py flags")
+    args = ap.parse_args(argv)
+
+    data = args.data
+    if data is None:
+        from lsenerf_tpu.data.synthetic import write_reference_scene
+
+        data = osp.join(args.workdir, "golden_scene")
+        if not osp.exists(osp.join(data, "colcam_set", "dataset.json")):
+            write_reference_scene(data)
+            print(f"[parity] wrote golden scene to {data}")
+
+    run_dir = osp.join(args.workdir, "run")
+    argv_train = [
+        "lsenerf",
+        "--data", data,
+        "--output-dir", run_dir,
+        "--machine.seed", str(args.seed),
+        "--max-num-iterations", str(args.steps),
+        "--steps-per-eval-all-images", str(args.steps),
+        "--steps-per-save", str(args.steps),
+        "--steps-per-eval-image", str(10 * args.steps),
+        "--pipeline.datamanager.rgb_frac", "0.66",
+    ]
+    if args.tiny:
+        argv_train += [
+            "--pipeline.model.num-levels", "4",
+            "--pipeline.model.log2-hashmap-size", "10",
+            "--pipeline.model.base-res", "8",
+            "--pipeline.model.max-res", "64",
+            "--pipeline.model.max-samples", "16",
+            "--pipeline.model.max-candidates", "64",
+            "--pipeline.model.grid-resolution", "16",
+            "--pipeline.model.grid-levels", "1",
+            "--pipeline.datamanager.train-num-rays-per-batch", "256",
+        ]
+    argv_train += list(args.extra)
+
+    import train as train_mod
+
+    train_mod.main(argv_train)
+
+    mean_f = find_eval_mean(run_dir)
+    if mean_f is None:
+        print("[parity] FAIL: no eval_mean.json produced")
+        return 1
+    with open(mean_f) as f:
+        got = json.load(f)
+    keys = [k for k in ("psnr", "ssim", "lpips") if k in got]
+    got_small = {k: got[k] for k in keys}
+    print(f"[parity] metrics: {json.dumps(got_small)}")
+
+    if args.update_golden:
+        with open(args.golden, "w") as f:
+            json.dump(
+                {"metrics": got_small,
+                 "protocol": {"steps": args.steps, "seed": args.seed,
+                              "data": "golden_scene" if args.data is None
+                              else args.data,
+                              "tiny": args.tiny}},
+                f, indent=1,
+            )
+        print(f"[parity] golden updated: {args.golden}")
+        return 0
+
+    if not osp.exists(args.golden):
+        print(f"[parity] FAIL: no golden at {args.golden} "
+              "(run with --update-golden first)")
+        return 1
+    with open(args.golden) as f:
+        golden = json.load(f)["metrics"]
+
+    tol = {"psnr": args.tol_psnr, "ssim": args.tol_ssim, "lpips": args.tol_lpips}
+    ok = True
+    import math
+
+    for k, want in golden.items():
+        have = got.get(k)
+        if have is None or (isinstance(want, float) and math.isnan(want)):
+            continue
+        if math.isnan(have) or abs(have - want) > tol[k]:
+            print(f"[parity] REGRESSION {k}: got {have:.4f}, "
+                  f"golden {want:.4f}, tol {tol[k]}")
+            ok = False
+        else:
+            print(f"[parity] ok {k}: {have:.4f} vs {want:.4f}")
+    print("[parity] PASS" if ok else "[parity] FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

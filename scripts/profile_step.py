@@ -1,0 +1,171 @@
+"""Cost breakdown of the flagship train step on the local accelerator.
+
+Times each stage of the step in isolation at flagship shapes and prints a
+table (markdown) for PERFORMANCE.md plus one JSON line. Optionally writes a
+jax.profiler trace when --trace DIR is given.
+
+Stages:
+  - march            ray marching (3512 rays merged col/prev/next)
+  - hash_fwd         hash encode forward only (168k samples)
+  - hash_fwdbwd      hash encode forward + table/position gradients
+  - field_fwd        full field (hash + MLPs + SH) forward
+  - field_fwdbwd     full field forward + backward
+  - occ_update       one occupancy-grid refresh
+  - full_step        the real jitted train step (loss + grads + Adam)
+
+The residual (full_step - field_fwdbwd - march - amortized occ) is
+composite/losses/optimizer overhead.
+"""
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def timeit(fn, *args, reps=8, name=None):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    if name:
+        print(f"[stage] {name}: {dt*1e3:.1f} ms", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lsenerf_tpu.utils.tpu_retry import warmup
+
+    warmup()
+
+    from __graft_entry__ import _flagship
+    from lsenerf_tpu.cameras import cameras as cam_lib
+    from lsenerf_tpu.models import field as field_lib
+    from lsenerf_tpu.ops import march as march_lib
+
+    trainer, state = _flagship(tiny=False)
+    mcfg = trainer.model_config
+    fcfg = mcfg.field
+    dm = trainer.dm
+
+    n_rays = dm.config.train_num_rays_per_batch
+    k = mcfg.max_samples
+    n_samples = n_rays * k
+
+    rng = np.random.default_rng(0)
+    rows = {}
+
+    # --- march at flagship ray count
+    cams = dm.col.cameras
+    idx = jnp.asarray(rng.integers(0, len(cams), n_rays), jnp.int32)
+    coords = jnp.asarray(
+        np.stack(
+            [rng.integers(0, cams.height, n_rays),
+             rng.integers(0, cams.width, n_rays)], 1
+        ).astype(np.float32)
+    )
+    bundle = cam_lib.generate_rays(cams, idx, coords)
+
+    march_fn = jax.jit(
+        lambda b: march_lib.march_rays(
+            b, state.occ, mcfg.grid, mcfg.march_config()
+        ).positions
+    )
+    rows["march"] = timeit(march_fn, bundle, reps=args.reps, name="march")
+
+    # --- hash encode at flagship sample count
+    from lsenerf_tpu.ops import hash_encoding as he
+
+    hcfg = fcfg.hash
+    table = state.params["model"]["field"]["hash_table"]
+    pos = jnp.asarray(rng.random((n_samples, 3), np.float32))
+
+    hash_fwd = jax.jit(lambda t, p: he.hash_encode(t, p, hcfg))
+    rows["hash_fwd"] = timeit(hash_fwd, table, pos, reps=args.reps, name="hash_fwd")
+
+    hash_fwdbwd = jax.jit(
+        jax.grad(lambda t, p: he.hash_encode(t, p, hcfg).sum(), argnums=(0, 1))
+    )
+    rows["hash_fwdbwd"] = timeit(hash_fwdbwd, table, pos, reps=args.reps, name="hash_fwdbwd")
+
+    # --- full field fwd / fwd+bwd
+    fparams = state.params["model"]["field"]
+    dirs = jnp.asarray(rng.random((n_samples, 3), np.float32) - 0.5)
+    app = jnp.zeros((n_samples,), jnp.int32)
+
+    field_fwd = jax.jit(
+        lambda fp, p, d: field_lib.field_apply(fp, p, d, app, fcfg, train=True)[0]
+    )
+    rows["field_fwd"] = timeit(field_fwd, fparams, pos, dirs, reps=args.reps, name="field_fwd")
+
+    field_fwdbwd = jax.jit(
+        jax.grad(
+            lambda fp, p, d: field_lib.field_apply(
+                fp, p, d, app, fcfg, train=True
+            )[0].sum()
+        )
+    )
+    rows["field_fwdbwd"] = timeit(field_fwdbwd, fparams, pos, dirs, reps=args.reps, name="field_fwdbwd")
+
+    # --- occupancy update
+    occ_update = trainer._occ_update
+    rows["occ_update"] = timeit(
+        occ_update, state, reps=max(2, args.reps // 2), name="occ_update"
+    )
+
+    # --- full step (scan of 1)
+    step = trainer.make_train_step()
+    batch = {k_: jnp.asarray(v) for k_, v in dm.next_train(0).items()}
+
+    def full(state, batch):
+        s, m = step(state, batch)
+        return m["loss"]
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            rows["full_step"] = timeit(
+                lambda s, b: full(s, b), state, batch, reps=args.reps,
+                name="full_step",
+            )
+        print(f"trace written to {args.trace}")
+    else:
+        rows["full_step"] = timeit(
+            lambda s, b: full(s, b), state, batch, reps=args.reps,
+            name="full_step",
+        )
+
+    occ_amort = rows["occ_update"] / 16.0  # refreshed every 16 steps
+    explained = rows["march"] + rows["field_fwdbwd"] + occ_amort
+    rows["other (composite/losses/adam)"] = max(
+        0.0, rows["full_step"] - explained
+    )
+
+    print("\n| stage | ms | % of step |")
+    print("|---|---|---|")
+    for name, dt in rows.items():
+        pct = 100.0 * dt / rows["full_step"]
+        print(f"| {name} | {dt*1e3:.1f} | {pct:.0f}% |")
+    print()
+    print(json.dumps({k_: round(v * 1e3, 2) for k_, v in rows.items()}))
+
+
+if __name__ == "__main__":
+    main()
