@@ -106,6 +106,76 @@ def sorted_window_accumulate(
     return out[:table_len]
 
 
+def sorted_window_accumulate_factored(
+    idx: jnp.ndarray,
+    factors: tuple,
+    make_rows,
+    row_width: int,
+    table_len: int,
+    out_dtype,
+    window: int = 128,
+    max_updates_factor: int = 6,
+    batch_windows: int = 8,
+) -> jnp.ndarray:
+    """Windowed accumulate where each update ROW is reconstructed in-window
+    from a few scalar factors instead of being materialized and permuted.
+
+    The blocked hash-table gradient is a rank-1 product per update
+    (interpolation weights x feature grad, 64 wide). Sorting the materialized
+    rows costs a ~16 ns/row TPU gather to apply the sort permutation
+    (measured: 44 ms at 2.7M updates); sorting the 5 scalar factors as sort
+    payload columns rides the sort itself, and `make_rows(factors)` rebuilds
+    the (max_updates, row_width) rows on the VPU inside each window right
+    before the one-hot MXU matmul.
+
+    idx: (m,) int32 table rows. factors: tuple of (m,) arrays (any dtypes
+    lax.sort accepts). make_rows: tuple of (u,)-arrays -> (u, row_width).
+    """
+    m = idx.shape[0]
+    n_windows = _round_up(table_len, window) // window
+    mean_per_window = max(1, m // n_windows)
+    max_updates = _round_up(max(window, max_updates_factor * mean_per_window), 256)
+    max_updates = min(max_updates, _round_up(m, 256))
+
+    sorted_ops = jax.lax.sort([idx] + list(factors), num_keys=1)
+    si = sorted_ops[0]
+    sf = sorted_ops[1:]
+
+    sentinel = jnp.int32(n_windows * window)
+    si = jnp.concatenate([si, jnp.full((max_updates,), sentinel, si.dtype)])
+    sf = [jnp.concatenate([f, jnp.zeros((max_updates,), f.dtype)]) for f in sf]
+
+    window_ids = jnp.arange(n_windows, dtype=jnp.int32)
+    starts = jnp.searchsorted(si, window_ids * window).astype(jnp.int32)
+    lane = jnp.arange(window, dtype=jnp.int32)
+
+    def one_window(w, start):
+        seg_i = jax.lax.dynamic_slice(si, (start,), (max_updates,))
+        seg_f = tuple(
+            jax.lax.dynamic_slice(f, (start,), (max_updates,)) for f in sf
+        )
+        rows = make_rows(seg_f)  # (max_updates, row_width)
+        rel = seg_i - w * window
+        onehot = (rel[:, None] == lane[None, :]).astype(rows.dtype)
+        return jnp.matmul(
+            onehot.T, rows, preferred_element_type=jnp.float32
+        ).astype(out_dtype)
+
+    def batch_fn(args):
+        ws, sts = args
+        return jax.vmap(one_window)(ws, sts)
+
+    pad = (-n_windows) % batch_windows
+    w_pad = jnp.concatenate([window_ids, jnp.zeros((pad,), jnp.int32)])
+    s_pad = jnp.concatenate([starts, jnp.zeros((pad,), jnp.int32)])
+    parts = jax.lax.map(
+        batch_fn,
+        (w_pad.reshape(-1, batch_windows), s_pad.reshape(-1, batch_windows)),
+    )
+    out = parts.reshape(-1, row_width)[: n_windows * window]
+    return out[:table_len]
+
+
 @jax.custom_vjp
 def take_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(F, T) table, (m,) int idx -> (F, m). Differentiable in `table`."""

@@ -25,13 +25,18 @@ exactly like the CUDA original.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lsenerf_tpu.ops.fast_gather import take_cols, take_rows_blocked
+from lsenerf_tpu.ops.fast_gather import (
+    sorted_window_accumulate_factored,
+    take_cols,
+    take_rows_blocked,
+)
 
 # NGP spatial hash primes (pi1=1 keeps x-major locality at low resolutions)
 _PRIMES = (1, 2654435761, 805459861)
@@ -60,6 +65,12 @@ class HashEncodingConfig:
     # log2 of hashed rows per level in blocked layout; 2^14 rows x 64 floats
     # per level == the reference's 2^19 entries x 2 floats per level.
     blocked_rows_log2: int = 14
+    # Table-gradient path for the blocked layout. "factored" sorts the 5
+    # scalar gradient factors per update as sort payload and rebuilds the
+    # 64-wide rank-1 update rows inside each accumulate window (saves the
+    # ~16 ns/row sorted-permute gather of materialized rows); "autodiff"
+    # keeps the materialized-row path (used as the oracle in tests).
+    blocked_backward: str = "factored"
 
     @property
     def table_size(self) -> int:
@@ -120,6 +131,174 @@ def _hash_corners(cx, cy, cz, log2_size: int) -> jnp.ndarray:
     return (h & jnp.uint32(2**log2_size - 1)).astype(jnp.int32)
 
 
+def _blocked_keys_fracs(positions: jnp.ndarray, config: HashEncodingConfig):
+    """(n, 3) positions -> global row keys (L, n) + per-dim (parity o, frac w),
+    each (L, n). Shared by the autodiff and factored-backward paths."""
+    L = config.num_levels
+    n_hash = 2**config.blocked_rows_log2
+
+    scalings = jnp.asarray(config.scalings(), jnp.float32)[:, None]  # (L,1)
+    res_i = jnp.asarray(config.scalings().astype(np.int64), jnp.int32)[:, None]
+    bdims = jnp.asarray(config.blocked_level_bdims(), jnp.int32)[:, None]
+    level_rows = config.blocked_level_rows()
+    dense_mask = jnp.asarray(level_rows < n_hash)[:, None]  # (L,1) bool
+    offsets = jnp.asarray(
+        np.concatenate([[0], np.cumsum(level_rows)[:-1]]).astype(np.int32)
+    )[:, None]  # (L,1)
+
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    coords = []
+    for p in (px, py, pz):
+        s = p[None, :] * scalings  # (L, n)
+        b = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, res_i - 1)
+        w = s - b.astype(jnp.float32)  # trilinear frac in [0,1]
+        coords.append((b >> 1, b & 1, w))
+    (kx, ox, wx), (ky, oy, wy), (kz, oz, wz) = coords
+
+    key_dense = (kx * bdims + ky) * bdims + kz
+    h = kx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    h = h ^ (ky.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+    h = h ^ (kz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+    key_hash = (h & jnp.uint32(n_hash - 1)).astype(jnp.int32)
+    keys = jnp.where(dense_mask, key_dense, key_hash) + offsets  # (L, n)
+    return keys, (ox, wx), (oy, wy), (oz, wz)
+
+
+def _dim_weights(o, w):
+    """Per-dim weight over block-relative vertex slots {0,1,2}: a cube base
+    at parity o contributes (1-w) to slot o and w to slot o+1."""
+    o = o.astype(jnp.float32).reshape(-1)
+    w = w.reshape(-1)
+    return jnp.stack(
+        [
+            (1.0 - w) * (1.0 - o),
+            w * (1.0 - o) + (1.0 - w) * o,
+            w * o,
+        ]
+    )  # (3, m)
+
+
+def _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config):
+    """(m, Wrow) gathered rows + per-dim fracs -> (n, L*F) features."""
+    L, F = config.num_levels, config.features_per_level
+    rowsT = rows.T.astype(jnp.float32)  # (Wrow, m) — sample axis minor
+    rows27 = rowsT[: 27 * F].reshape(27, F, L * n)
+    ux, uy, uz = _dim_weights(ox, wx), _dim_weights(oy, wy), _dim_weights(oz, wz)
+    w27 = (
+        ux[:, None, None, :] * uy[None, :, None, :] * uz[None, None, :, :]
+    ).reshape(27, 1, L * n)
+    feats = (rows27 * w27).sum(axis=0)  # (F, m)
+    return feats.reshape(F, L, n).transpose(2, 1, 0).reshape(n, L * F)
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_fast_fn(config: HashEncodingConfig):
+    """custom_vjp blocked encode with the factored table-gradient backward.
+
+    Forward = plain row gather + trilinear combine. Backward:
+      - position grads from the saved rows (exact f32 math, as autodiff);
+      - table grad WITHOUT materializing/permuting (m, 64) update rows:
+        each update is rank-1 (w27 outer gfeat), so only its 5 scalar
+        factors ride the sort, and rows are rebuilt inside each window of
+        sorted_window_accumulate_factored right before the one-hot matmul.
+    """
+    L, F = config.num_levels, config.features_per_level
+    Wrow = config.blocked_row_width
+    total_rows = int(config.blocked_level_rows().sum())
+    scalings_np = config.scalings().astype(np.float32)
+    pdt = jnp.bfloat16 if config.gather_dtype == "bfloat16" else jnp.float32
+
+    def fwd_core(table, positions):
+        n = positions.shape[0]
+        keys, (ox, wx), (oy, wy), (oz, wz) = _blocked_keys_fracs(positions, config)
+        gtable = table
+        if config.gather_dtype == "bfloat16":
+            gtable = table.astype(jnp.bfloat16)
+        rows = jnp.take(gtable, keys.reshape(-1), axis=0)  # (m, Wrow)
+        out = _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config)
+        # `table` rides along only for its dtype (param buffer, no copy)
+        return out, (keys, rows, ox, wx, oy, wy, oz, wz, table)
+
+    @jax.custom_vjp
+    def encode(table, positions):
+        return fwd_core(table, positions)[0]
+
+    def fwd(table, positions):
+        out, res = fwd_core(table, positions)
+        return out, res
+
+    def bwd(res, g):
+        keys, rows, ox, wx, oy, wy, oz, wz, table = res
+        n = g.shape[0]
+        m = L * n
+        # cotangent in the level-major update order used by keys
+        gfeat = g.reshape(n, L, F).transpose(2, 1, 0).reshape(F, m)  # (F, m)
+
+        # ---- position gradients (through the trilinear weights) ----
+        rows27 = rows.T.astype(jnp.float32)[: 27 * F].reshape(27, F, m)
+        dw27 = (rows27 * gfeat[None]).sum(axis=1).reshape(3, 3, 3, m)
+        ux, uy, uz = _dim_weights(ox, wx), _dim_weights(oy, wy), _dim_weights(oz, wz)
+        dux = (dw27 * uy[None, :, None] * uz[None, None, :]).sum(axis=(1, 2))
+        duy = (dw27 * ux[:, None, None] * uz[None, None, :]).sum(axis=(0, 2))
+        duz = (dw27 * ux[:, None, None] * uy[None, :, None]).sum(axis=(0, 1))
+
+        def dw_of(du, o):
+            of = o.astype(jnp.float32).reshape(-1)
+            # du/dw rows over slots {o, o+1}: [-(1-o), (1-2o), o]
+            return -du[0] * (1.0 - of) + du[1] * (1.0 - 2.0 * of) + du[2] * of
+
+        scal = jnp.asarray(scalings_np)[:, None]  # (L, 1)
+        dpx = (dw_of(dux, ox).reshape(L, n) * scal).sum(axis=0)
+        dpy = (dw_of(duy, oy).reshape(L, n) * scal).sum(axis=0)
+        dpz = (dw_of(duz, oz).reshape(L, n) * scal).sum(axis=0)
+        dpos = jnp.stack([dpx, dpy, dpz], axis=1)
+
+        # ---- table gradient: factored sort + in-window row rebuild ----
+        # parity rides the sign: e = o ? -(w+1) : w  (w in [0,1], so the
+        # o=1 branch is <= -1 and never collides with -0.0)
+        def enc(w, o):
+            w = w.reshape(-1)
+            o = o.reshape(-1).astype(bool)
+            return jnp.where(o, -(w + 1.0), w).astype(pdt)
+
+        factors = tuple(gfeat[f].astype(pdt) for f in range(F)) + (
+            enc(wx, ox), enc(wy, oy), enc(wz, oz),
+        )
+
+        def make_rows(seg):
+            gf = jnp.stack(
+                [seg[f].astype(jnp.float32) for f in range(F)], axis=1
+            )  # (u, F)
+
+            def dec(e):
+                e = e.astype(jnp.float32)
+                o = e < 0
+                w = jnp.where(o, -e - 1.0, e)
+                return o.astype(jnp.float32), w
+
+            ux_, uy_, uz_ = (
+                _dim_weights(*dec(seg[F])).T,
+                _dim_weights(*dec(seg[F + 1])).T,
+                _dim_weights(*dec(seg[F + 2])).T,
+            )  # each (u, 3)
+            w27 = (
+                ux_[:, :, None, None] * uy_[:, None, :, None] * uz_[:, None, None, :]
+            ).reshape(-1, 27)
+            rows_u = (w27[:, :, None] * gf[:, None, :]).reshape(-1, 27 * F)
+            if Wrow > 27 * F:
+                rows_u = jnp.pad(rows_u, ((0, 0), (0, Wrow - 27 * F)))
+            return rows_u.astype(pdt)
+
+        dtab = sorted_window_accumulate_factored(
+            keys.reshape(-1), factors, make_rows, Wrow, total_rows,
+            out_dtype=jnp.float32, window=128,
+        )
+        return dtab.astype(table.dtype), dpos
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
 def hash_encode_blocked(
     table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
 ) -> jnp.ndarray:
@@ -142,66 +321,22 @@ def hash_encode_blocked(
     rather than single vertices; total capacity matches the reference
     (2^14 rows x 64 floats == 2^19 entries x 2 floats per level).
 
-    Differentiable in the table (row scatter-add backward) and in positions
-    (through the trilinear weights), exactly like the ngp layout.
+    Differentiable in the table and in positions (through the trilinear
+    weights), exactly like the ngp layout. Two table-gradient paths
+    (config.blocked_backward): "factored" (default, custom VJP — sorts the
+    5 scalar factors of each rank-1 row update instead of permuting
+    materialized rows) and "autodiff" (materialized-row oracle via
+    take_rows_blocked's sorted-window backward).
     """
+    if config.blocked_backward == "factored":
+        return _blocked_fast_fn(config)(table, positions)
+
     n = positions.shape[0]
-    L, F = config.num_levels, config.features_per_level
-    Wrow = config.blocked_row_width
-    n_hash = 2**config.blocked_rows_log2
-
-    scalings = jnp.asarray(config.scalings(), jnp.float32)[:, None]  # (L,1)
-    res_i = jnp.asarray(config.scalings().astype(np.int64), jnp.int32)[:, None]
-    bdims = jnp.asarray(config.blocked_level_bdims(), jnp.int32)[:, None]
-    level_rows = config.blocked_level_rows()
-    dense_mask = jnp.asarray(level_rows < n_hash)[:, None]  # (L,1) bool
-    offsets = jnp.asarray(
-        np.concatenate([[0], np.cumsum(level_rows)[:-1]]).astype(np.int32)
-    )[:, None]  # (L,1)
-
-    # sample-minor (L, n) everywhere
-    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
-    coords = []
-    for p in (px, py, pz):
-        s = p[None, :] * scalings  # (L, n)
-        b = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, res_i - 1)
-        w = s - b.astype(jnp.float32)  # trilinear frac in [0,1]
-        coords.append((b >> 1, b & 1, w))
-    (kx, ox, wx), (ky, oy, wy), (kz, oz, wz) = coords
-
-    key_dense = (kx * bdims + ky) * bdims + kz
-    h = kx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-    h = h ^ (ky.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
-    h = h ^ (kz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
-    key_hash = (h & jnp.uint32(n_hash - 1)).astype(jnp.int32)
-    keys = jnp.where(dense_mask, key_dense, key_hash) + offsets  # (L, n)
-
+    keys, (ox, wx), (oy, wy), (oz, wz) = _blocked_keys_fracs(positions, config)
     if config.gather_dtype == "bfloat16":
         table = table.astype(jnp.bfloat16)
     rows = take_rows_blocked(table, keys.reshape(-1))  # (L*n, Wrow)
-    rowsT = rows.T.astype(jnp.float32)  # (Wrow, m) — sample axis minor
-    rows27 = rowsT[: 27 * F].reshape(27, F, L * n)
-
-    # per-dim weight over block-relative vertex positions {0,1,2}:
-    # cube base at parity o contributes (1-w) to slot o and w to slot o+1
-    def dim_weights(o, w):
-        o = o.astype(jnp.float32).reshape(-1)
-        w = w.reshape(-1)
-        return jnp.stack(
-            [
-                (1.0 - w) * (1.0 - o),
-                w * (1.0 - o) + (1.0 - w) * o,
-                w * o,
-            ]
-        )  # (3, m)
-
-    ux, uy, uz = dim_weights(ox, wx), dim_weights(oy, wy), dim_weights(oz, wz)
-    w27 = (
-        ux[:, None, None, :] * uy[None, :, None, :] * uz[None, None, :, :]
-    ).reshape(27, 1, L * n)
-
-    feats = (rows27 * w27).sum(axis=0)  # (F, m)
-    return feats.reshape(F, L, n).transpose(2, 1, 0).reshape(n, L * F)
+    return _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config)
 
 
 def hash_encode(

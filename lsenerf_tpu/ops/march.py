@@ -143,23 +143,29 @@ def march_rays(
     stride = jnp.maximum((count_all + k - 1) // k, 1)[:, None]  # (n, 1)
     sel = keep & (slot % stride == 0)
     out_slot = slot // stride  # < k by construction
-    valid_write = sel
-    ray_ids = jnp.broadcast_to(
-        jnp.arange(n)[:, None], slot.shape
-    )
-    flat_slot = jnp.where(valid_write, ray_ids * k + out_slot, n * k)  # oob -> drop
     dts = (t1s - t0s) * stride.astype(t1s.dtype)  # stride-widened quadrature
-    t_starts = (
-        jnp.zeros((n * k,), t0s.dtype).at[flat_slot.reshape(-1)].set(
-            t0s.reshape(-1), mode="drop"
-        )
-    ).reshape(n, k)
-    t_ends = (
-        jnp.zeros((n * k,), t1s.dtype).at[flat_slot.reshape(-1)].set(
-            (t0s + dts).reshape(-1), mode="drop"
-        )
-    ).reshape(n, k)
-    count = jnp.sum(valid_write, axis=1)  # (n,)
+
+    # Compact selected candidates into their slots WITHOUT a scatter (TPU
+    # scatters cost ~90 ns/index; this was ~1/3 of the whole march): each
+    # (ray, slot) output is a one-hot-weighted sum over that ray's
+    # candidates, i.e. one small batched matmul on the MXU. out_slot is
+    # unique per (ray, slot) among sel, so the sum IS the selection. f32
+    # matmul keeps t-values exact (they are sums of step multiples well
+    # within f32's 24-bit mantissa).
+    onehot = jnp.where(
+        sel[:, None, :],
+        (out_slot[:, None, :] == jnp.arange(k, dtype=out_slot.dtype)[None, :, None])
+        .astype(t0s.dtype),
+        jnp.zeros((), t0s.dtype),
+    )  # (n, k, m)
+    vals = jnp.stack([t0s, t0s + dts], axis=-1)  # (n, m, 2)
+    picked = jax.lax.dot_general(
+        onehot, vals,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (n, k, 2)
+    t_starts, t_ends = picked[..., 0], picked[..., 1]
+    count = jnp.sum(sel, axis=1)  # (n,)
     mask = jnp.arange(k)[None, :] < count[:, None]
 
     # rebuild positions from the DIFFERENTIABLE origins/directions

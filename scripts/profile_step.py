@@ -29,17 +29,21 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def timeit(fn, *args, reps=8, name=None):
+    """Median per-call time (robust to intermittent tunnel stalls)."""
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
     if name:
-        print(f"[stage] {name}: {dt*1e3:.1f} ms", flush=True)
+        print(f"[stage] {name}: {dt*1e3:.1f} ms "
+              f"(min {min(ts)*1e3:.1f}, max {max(ts)*1e3:.1f})", flush=True)
     return dt
 
 
@@ -125,32 +129,98 @@ def main():
     )
     rows["field_fwdbwd"] = timeit(field_fwdbwd, fparams, pos, dirs, reps=args.reps, name="field_fwdbwd")
 
+    # --- micro stages: march internals
+    from lsenerf_tpu.ops import occupancy as occ_lib
+
+    mconf = mcfg.march_config()
+
+    def cand_occ(b):
+        o = jax.lax.stop_gradient(b.origins)
+        d = jax.lax.stop_gradient(b.directions)
+        outer_half = mcfg.grid.aabb_scale * (2.0 ** (mcfg.grid.levels - 1))
+        t_enter, t_exit = march_lib.ray_aabb_intersect(o, d, outer_half)
+        t_lo = jnp.maximum(jnp.maximum(t_enter, mconf.near_plane), 0.0)
+        ts = march_lib.candidate_ts(t_lo, mconf)
+        mids = 0.5 * (ts[:, :-1] + ts[:, 1:])
+        occ = occ_lib.occupancy_at_coords(
+            state.occ,
+            o[:, None, 0] + mids * d[:, None, 0],
+            o[:, None, 1] + mids * d[:, None, 1],
+            o[:, None, 2] + mids * d[:, None, 2],
+            mcfg.grid,
+        )
+        return occ
+
+    rows["march_cand_occ"] = timeit(
+        jax.jit(cand_occ), bundle, reps=args.reps, name="march_cand_occ"
+    )
+
+    # --- micro stages: hash backward split (blocked layout path)
+    if hcfg.layout == "blocked":
+        from lsenerf_tpu.ops import fast_gather as fg
+
+        L = hcfg.num_levels
+        m = n_samples * L
+        T = int(hcfg.blocked_level_rows().sum())
+        W = hcfg.blocked_row_width
+        gdt = jnp.bfloat16 if hcfg.gather_dtype == "bfloat16" else jnp.float32
+        keys = jnp.asarray(rng.integers(0, T, m), jnp.int32)
+        upd = jnp.asarray(rng.random((m, W), np.float32), gdt)
+
+        sort_fn = jax.jit(
+            lambda k_, g_: fg.sorted_window_accumulate(k_, g_, T, window=128)
+        )
+        rows["bwd_accumulate"] = timeit(
+            sort_fn, keys, upd, reps=args.reps, name="bwd_accumulate"
+        )
+
+        sort_only = jax.jit(
+            lambda k_: jax.lax.sort(
+                [k_, jnp.arange(m, dtype=jnp.int32)], num_keys=1
+            )[0]
+        )
+        rows["bwd_sort_only"] = timeit(
+            sort_only, keys, reps=args.reps, name="bwd_sort_only"
+        )
+
+        perm_only = jax.jit(lambda g_, o_: jnp.take(g_, o_, axis=0))
+        order = jnp.asarray(rng.permutation(m).astype(np.int32))
+        rows["bwd_permute_only"] = timeit(
+            perm_only, upd, order, reps=args.reps, name="bwd_permute_only"
+        )
+
     # --- occupancy update
     occ_update = trainer._occ_update
     rows["occ_update"] = timeit(
         occ_update, state, reps=max(2, args.reps // 2), name="occ_update"
     )
 
-    # --- full step (scan of 1)
+    # --- full step; the step donates its input state, so chain it through
+    # the calls instead of reusing a donated buffer
     step = trainer.make_train_step()
     batch = {k_: jnp.asarray(v) for k_, v in dm.next_train(0).items()}
 
-    def full(state, batch):
-        s, m = step(state, batch)
-        return m["loss"]
+    def run_full(reps):
+        st = state
+        st, m = step(st, batch)  # compile + warm
+        jax.block_until_ready(m["loss"])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st, m = step(st, batch)
+            jax.block_until_ready(m["loss"])
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        print(f"[stage] full_step: {dt*1e3:.1f} ms "
+              f"(min {min(ts)*1e3:.1f}, max {max(ts)*1e3:.1f})", flush=True)
+        return dt
 
     if args.trace:
         with jax.profiler.trace(args.trace):
-            rows["full_step"] = timeit(
-                lambda s, b: full(s, b), state, batch, reps=args.reps,
-                name="full_step",
-            )
+            rows["full_step"] = run_full(args.reps)
         print(f"trace written to {args.trace}")
     else:
-        rows["full_step"] = timeit(
-            lambda s, b: full(s, b), state, batch, reps=args.reps,
-            name="full_step",
-        )
+        rows["full_step"] = run_full(args.reps)
 
     occ_amort = rows["occ_update"] / 16.0  # refreshed every 16 steps
     explained = rows["march"] + rows["field_fwdbwd"] + occ_amort

@@ -164,3 +164,50 @@ def test_blocked_table_grad_matches_scatter(cfg):
     want = np.zeros((T, W), np.float32)
     np.add.at(want, idx, g)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_factored_backward_matches_autodiff(cfg):
+    """The factored table/position gradients (sort 5 scalar factors, rebuild
+    rank-1 rows in-window) equal the materialized-row autodiff path."""
+    from dataclasses import replace
+
+    cfg_fast = replace(cfg, blocked_backward="factored")
+    cfg_ref = replace(cfg, blocked_backward="autodiff")
+    tab = he.init_hash_table(jax.random.PRNGKey(5), cfg) * 10.0
+    pos = jax.random.uniform(jax.random.PRNGKey(6), (257, 3), minval=0.0,
+                             maxval=1.0)
+    probe = jax.random.normal(jax.random.PRNGKey(7), (257, cfg.out_dim))
+
+    def loss(c):
+        return lambda t, p: (he.hash_encode(t, p, c) * probe).sum()
+
+    out_fast = he.hash_encode(tab, pos, cfg_fast)
+    out_ref = he.hash_encode(tab, pos, cfg_ref)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    gt_f, gp_f = jax.grad(loss(cfg_fast), argnums=(0, 1))(tab, pos)
+    gt_r, gp_r = jax.grad(loss(cfg_ref), argnums=(0, 1))(tab, pos)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_factored_backward_bf16_close(cfg):
+    """bf16 factor payloads quantize the update weights; the accumulated
+    table grad must stay within bf16-level tolerance of the f32 oracle."""
+    from dataclasses import replace
+
+    cfg_bf = replace(cfg, blocked_backward="factored", gather_dtype="bfloat16")
+    cfg_ref = replace(cfg, blocked_backward="autodiff")
+    tab = he.init_hash_table(jax.random.PRNGKey(8), cfg) * 10.0
+    pos = jax.random.uniform(jax.random.PRNGKey(9), (300, 3))
+
+    def loss(c):
+        return lambda t: (he.hash_encode(t, pos, c) ** 2).sum()
+
+    gt_bf = np.asarray(jax.grad(loss(cfg_bf))(tab))
+    gt_ref = np.asarray(jax.grad(loss(cfg_ref))(tab))
+    scale = np.abs(gt_ref).max()
+    np.testing.assert_allclose(gt_bf, gt_ref, atol=0.03 * scale)

@@ -7,6 +7,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, osp.join(REPO, "scripts"))
@@ -42,6 +43,7 @@ def test_reference_scene_roundtrip(tmp_path):
     assert evs.e_thresh == evs_src.e_thresh
 
 
+@pytest.mark.slow
 def test_parity_harness_end_to_end(tmp_path):
     """Record a golden on a tiny CPU run, verify a re-run passes, and verify
     a perturbed golden fails — the harness actually detects regressions."""
