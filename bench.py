@@ -15,6 +15,7 @@ sustain ~100-130 steps/s at 3512 rays/step on an RTX 3090-class card =>
 BASELINE.md means vs_baseline >= 5.
 """
 
+import argparse
 import json
 import time
 
@@ -23,6 +24,17 @@ SCAN_K = 16  # steps per device call == occupancy update interval
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the timed steps to DIR "
+        "(inspect with tensorboard / xprof; see scripts/profile_step.py "
+        "for the per-stage cost breakdown table)",
+    )
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -57,11 +69,19 @@ def main():
     jax.block_until_ready(m["loss"])
 
     n_chunks = 8
-    t0 = time.perf_counter()
-    for i in range(n_chunks):
-        state, m = chunk(state, (warm_chunks + i + 1) * SCAN_K)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+
+    def timed_run(state):
+        t0 = time.perf_counter()
+        for i in range(n_chunks):
+            state, m = chunk(state, (warm_chunks + i + 1) * SCAN_K)
+        jax.block_until_ready(m["loss"])
+        return time.perf_counter() - t0
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            dt = timed_run(state)
+    else:
+        dt = timed_run(state)
 
     rays_per_sec = n_chunks * SCAN_K * rays_per_step / dt
     print(

@@ -140,6 +140,9 @@ class ModelCLI:
     grid_levels: int = 4
     max_samples: int = 48
     max_candidates: int = 1024
+    hierarchical_march: bool = True
+    coarse_factor: int = 8
+    max_coarse_segments: int = 32
     compact_chunk: int = 0
     disable_scene_contraction: bool = False
     background_color: str = "random"
@@ -420,6 +423,9 @@ def build_runtime_configs(config: ExperimentConfig):
         ),
         max_samples=m.max_samples,
         max_candidates=m.max_candidates,
+        hierarchical_march=m.hierarchical_march,
+        coarse_factor=m.coarse_factor,
+        max_coarse_segments=m.max_coarse_segments,
         compact_chunk=m.compact_chunk,
         background_color=m.background_color,
         evs_loss_weight=m.evs_loss_weight,

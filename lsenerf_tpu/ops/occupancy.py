@@ -64,14 +64,13 @@ def level_of_positions(positions: jnp.ndarray, config: OccGridConfig) -> jnp.nda
     return jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
 
 
-def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
-    """Coordinate-separate occupancy lookup (any common shape).
+def _grid_lookup(binaries: jnp.ndarray, x, y, z, config: OccGridConfig):
+    """Level-selecting cell lookup into a (levels, R, R, R) bool grid.
 
-    Avoids materializing an (..., 3) array: on TPU a minor dimension of 3 is
-    lane-padded to 128 (42x memory waste) — at production ray counts that is
-    hundreds of MB per march. Callers pass the coordinate planes directly.
+    Coordinate-separate (no (..., 3) array: on TPU a minor dimension of 3 is
+    lane-padded to 128 — a 42x memory blowup at production ray counts).
     """
-    R = config.resolution
+    R = binaries.shape[-1]
     mag = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
     lvl = jnp.ceil(jnp.log2(jnp.maximum(mag / config.aabb_scale, 1e-12)))
     lvl = jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
@@ -82,7 +81,50 @@ def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
         return jnp.clip(jnp.floor((c + half) * inv), 0, R - 1).astype(jnp.int32)
 
     flat = lvl * (R * R * R) + cell(x) * (R * R) + cell(y) * R + cell(z)
-    return jnp.take(state.binaries.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+    return jnp.take(binaries.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+
+
+def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
+    """Coordinate-separate occupancy lookup (any common shape)."""
+    return _grid_lookup(state.binaries, x, y, z, config)
+
+
+def build_super_binaries(
+    binaries: jnp.ndarray, factor: int, config: OccGridConfig
+) -> jnp.ndarray:
+    """(levels, S, S, S) supergrid for hierarchical marching, S = R//factor.
+
+    A supercell is occupied iff ANY of its factor^3 fine cells is, OR'd with
+    the spatially-overlapping cells of ADJACENT levels (level aabbs nest by
+    2x, so a march segment whose test points select level l can contain fine
+    points that select level l±1). NO spatial dilation: the march tests each
+    segment at its midpoint AND both endpoints, which covers every boundary
+    crossing a sub-supercell-length segment can make except simultaneous
+    multi-axis (corner) crossings between adjacent test points — those can
+    drop a fine candidate, which only perturbs the (already heuristic,
+    stop-gradient) sample placement, never the rendering math. Cheap enough
+    (~8 MB reduce + S^3 elementwise) to rebuild inline per march call — no
+    state or checkpoint changes.
+    """
+    L = binaries.shape[0]
+    R = binaries.shape[-1]
+    S = R // factor
+    sb = binaries.reshape(L, S, factor, S, factor, S, factor).any(axis=(2, 4, 6))
+    if L > 1 and S >= 4:
+        q = S // 4
+        # level l down-2 -> occupies the central half of level l+1's extent
+        down = sb.reshape(L, S // 2, 2, S // 2, 2, S // 2, 2).any(axis=(2, 4, 6))
+        # central half of level l+1 up-2 -> covers level l's full extent
+        center = sb[:, q : 3 * q, q : 3 * q, q : 3 * q]
+        up = jnp.repeat(
+            jnp.repeat(jnp.repeat(center, 2, axis=1), 2, axis=2), 2, axis=3
+        )
+        merged = sb
+        merged = merged.at[:-1].set(merged[:-1] | up[1:])
+        inner = merged[1:, q : 3 * q, q : 3 * q, q : 3 * q] | down[:-1]
+        merged = merged.at[1:, q : 3 * q, q : 3 * q, q : 3 * q].set(inner)
+        sb = merged
+    return sb
 
 
 def occupancy_at(state: OccGridState, positions: jnp.ndarray, config: OccGridConfig):

@@ -1,13 +1,14 @@
 """Tune the factored windowed accumulate on the real chip.
 
-Measures: lax.sort cost vs payload operand count/dtype, and the factored
-accumulate end-to-end across (window, batch_windows) and packed vs unpacked
-bf16 payloads.
+Measures (via utils.timing.device_time — see its docstring for why naive
+fixed-input reps read ~0 ms through the tunnel's dispatch cache):
+  - lax.sort cost vs payload operand count/dtype at flagship update count;
+  - the factored accumulate end-to-end across (window, batch_windows,
+    max_updates_factor).
 """
 
 import os.path as osp
 import sys
-import time
 
 import numpy as np
 
@@ -16,6 +17,7 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from lsenerf_tpu.utils.timing import device_time  # noqa: E402
 from lsenerf_tpu.utils.tpu_retry import warmup  # noqa: E402
 
 warmup()
@@ -26,16 +28,15 @@ rng = np.random.default_rng(0)
 keys = jnp.asarray(rng.integers(0, T, M), jnp.int32)
 
 
-def timeit(name, fn, *args, reps=6):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    print(f"{name}: {np.median(ts)*1e3:.1f} ms", flush=True)
+def perturb_keys(args, salt):
+    k = args[0]
+    return ((k + salt) % jnp.int32(T),) + tuple(args[1:])
+
+
+def report(name, fn, args, iters=6):
+    dt = device_time(fn, args, perturb_keys, iters=iters, calls=3)
+    print(f"{name}: {dt*1e3:.1f} ms", flush=True)
+    return dt
 
 
 # --- sort scaling with operands
@@ -43,26 +44,26 @@ f32 = jnp.asarray(rng.random(M), jnp.float32)
 bf = f32.astype(jnp.bfloat16)
 u32 = jnp.asarray(rng.integers(0, 2**31, M), jnp.int32)
 
-timeit("sort 1key", jax.jit(lambda k: jax.lax.sort([k], num_keys=1)[0]), keys)
-timeit(
-    "sort 1key+2u32",
-    jax.jit(lambda k, a: jax.lax.sort([k, a, a], num_keys=1)[0]),
-    keys, u32,
+report("sort 1key", lambda k: jax.lax.sort([k], num_keys=1)[0], (keys,))
+report(
+    "sort 1key+2i32",
+    lambda k, a: jax.lax.sort([k, a, a], num_keys=1)[0], (keys, u32),
 )
-timeit(
-    "sort 1key+3u32",
-    jax.jit(lambda k, a: jax.lax.sort([k, a, a, a], num_keys=1)[0]),
-    keys, u32,
+report(
+    "sort 1key+3i32",
+    lambda k, a: jax.lax.sort([k, a, a, a], num_keys=1)[0], (keys, u32),
 )
-timeit(
-    "sort 1key+5u32",
-    jax.jit(lambda k, a: jax.lax.sort([k] + [a] * 5, num_keys=1)[0]),
-    keys, u32,
+report(
+    "sort 1key+5i32",
+    lambda k, a: jax.lax.sort([k] + [a] * 5, num_keys=1)[0], (keys, u32),
 )
-timeit(
+report(
     "sort 1key+5bf16",
-    jax.jit(lambda k, a: jax.lax.sort([k] + [a] * 5, num_keys=1)[0]),
-    keys, bf,
+    lambda k, a: jax.lax.sort([k] + [a] * 5, num_keys=1)[0], (keys, bf),
+)
+report(
+    "sort 1key+5f32",
+    lambda k, a: jax.lax.sort([k] + [a] * 5, num_keys=1)[0], (keys, f32),
 )
 
 # --- factored accumulate variants
@@ -75,41 +76,41 @@ Wrow = 64
 fac_bf = tuple([bf] * 5)
 
 
-def mk_make_rows(u_count=5):
-    def make_rows(seg):
-        gf = jnp.stack([seg[0].astype(jnp.float32),
-                        seg[1].astype(jnp.float32)], axis=1)
+def make_rows(seg):
+    gf = jnp.stack([seg[0].astype(jnp.float32),
+                    seg[1].astype(jnp.float32)], axis=1)
 
-        def dec(e):
-            e = e.astype(jnp.float32)
-            o = (e < 0).astype(jnp.float32)
-            w = jnp.where(e < 0, -e - 1.0, e)
-            return o, w
+    def dec(e):
+        e = e.astype(jnp.float32)
+        o = (e < 0).astype(jnp.float32)
+        w = jnp.where(e < 0, -e - 1.0, e)
+        return o, w
 
-        us = []
-        for i in (2, 3, 4):
-            o, w = dec(seg[i])
-            us.append(
-                jnp.stack(
-                    [(1 - w) * (1 - o), w * (1 - o) + (1 - w) * o, w * o],
-                    axis=1,
-                )
+    us = []
+    for i in (2, 3, 4):
+        o, w = dec(seg[i])
+        us.append(
+            jnp.stack(
+                [(1 - w) * (1 - o), w * (1 - o) + (1 - w) * o, w * o],
+                axis=1,
             )
-        w27 = (
-            us[0][:, :, None, None] * us[1][:, None, :, None]
-            * us[2][:, None, None, :]
-        ).reshape(-1, 27)
-        rows = (w27[:, :, None] * gf[:, None, :]).reshape(-1, 54)
-        return jnp.pad(rows, ((0, 0), (0, Wrow - 54))).astype(jnp.bfloat16)
-
-    return make_rows
-
-
-for window, bw in [(128, 8), (128, 32), (256, 8), (256, 32), (512, 16)]:
-    fn = jax.jit(
-        lambda k, f, window=window, bw=bw: sorted_window_accumulate_factored(
-            k, f, mk_make_rows(), Wrow, T, jnp.float32,
-            window=window, batch_windows=bw,
         )
-    )
-    timeit(f"accum w={window} bw={bw}", fn, keys, fac_bf)
+    w27 = (
+        us[0][:, :, None, None] * us[1][:, None, :, None]
+        * us[2][:, None, None, :]
+    ).reshape(-1, 27)
+    rows = (w27[:, :, None] * gf[:, None, :]).reshape(-1, 54)
+    return jnp.pad(rows, ((0, 0), (0, Wrow - 54))).astype(jnp.bfloat16)
+
+
+for window, bw, muf in [
+    (128, 8, 6), (128, 32, 6), (256, 8, 6), (256, 32, 6), (512, 16, 6),
+    (128, 8, 3), (256, 8, 3), (512, 16, 3),
+]:
+    def fn(k, *f, window=window, bw=bw, muf=muf):
+        return sorted_window_accumulate_factored(
+            k, tuple(f), make_rows, Wrow, T, jnp.float32,
+            window=window, batch_windows=bw, max_updates_factor=muf,
+        )
+
+    report(f"accum w={window} bw={bw} muf={muf}", fn, (keys,) + fac_bf, iters=4)

@@ -284,3 +284,110 @@ def test_compact_field_eval_matches_dense():
     g_c = jax.grad(loss)(params, cfg_compact)
     for ld, lc in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_c)):
         np.testing.assert_allclose(np.asarray(lc), np.asarray(ld), atol=1e-4)
+
+
+# --- hierarchical (two-phase) marching ------------------------------------
+
+HIER_GRID = occ_lib.OccGridConfig(resolution=32, levels=2, aabb_scale=1.0)
+
+
+def hier_cfg(**kw):
+    base = dict(
+        render_step_size=0.02, near_plane=0.05, far_plane=100.0,
+        cone_angle=0.004, max_samples=32, max_candidates=512,
+        hierarchical=True, coarse_factor=8, max_coarse_segments=16,
+    )
+    base.update(kw)
+    return march.MarchConfig(**base)
+
+
+def test_super_binaries_conservative():
+    """Any occupied fine cell must light up its own supercell (the march
+    covers spatial slop by testing segment midpoints AND endpoints)."""
+    rng = np.random.default_rng(0)
+    cfg = HIER_GRID
+    R, f = cfg.resolution, 8
+    binaries = rng.random((cfg.levels, R, R, R)) < 0.01
+    sup = np.asarray(
+        occ_lib.build_super_binaries(jnp.asarray(binaries), f, cfg)
+    )
+    occ_cells = np.argwhere(binaries)
+    for lvl, x, y, z in occ_cells:
+        assert sup[lvl, x // f, y // f, z // f]
+    # and no spurious occupancy far from any occupied fine cell: an empty
+    # grid yields an empty supergrid
+    empty = np.asarray(
+        occ_lib.build_super_binaries(
+            jnp.zeros((cfg.levels, R, R, R), bool), f, cfg
+        )
+    )
+    assert not empty.any()
+
+
+def test_super_binaries_cross_level():
+    """A fine cell occupied at level 0 must be visible through level 1's
+    supergrid at the overlapping (central) location, and vice versa."""
+    cfg = HIER_GRID
+    R, f = cfg.resolution, 8
+    S = R // f
+    binaries = np.zeros((2, R, R, R), bool)
+    # level 0, cell near +x face -> position x ~ +1 (center of cell (R-1, R/2, R/2))
+    binaries[0, R - 1, R // 2, R // 2] = True
+    sup = np.asarray(occ_lib.build_super_binaries(jnp.asarray(binaries), f, cfg))
+    # the same world position in level 1's frame: x ~ +1 = half of level-1
+    # extent -> supercell index ~ 3S/4
+    assert sup[1, 3 * S // 4 - 1 : 3 * S // 4 + 1, :, :].any()
+
+
+def test_hierarchical_matches_flat_when_sparse():
+    """Converged-grid regime (occupied segments fit every budget): the
+    two-phase march must produce EXACTLY the flat scan's samples."""
+    cfg_h = hier_cfg()
+    cfg_f = hier_cfg(hierarchical=False)
+    state = occ_lib.init_occ_grid(HIER_GRID)
+    occs = np.zeros(np.asarray(state.occs).shape, np.float32)
+    binaries = np.zeros_like(occs, bool)
+    # a thin occupied slab at level 0: x in [0.25, 0.5]
+    R = HIER_GRID.resolution
+    binaries[0, 5 * R // 8 : 6 * R // 8, :, :] = True
+    state = occ_lib.OccGridState(
+        occs=jnp.asarray(occs), binaries=jnp.asarray(binaries)
+    )
+    rng = np.random.default_rng(1)
+    origins = np.array([[-3.0, 0.0, 0.0]] * 8)
+    dirs = np.concatenate(
+        [np.ones((8, 1)), 0.3 * (rng.random((8, 2)) - 0.5)], axis=1
+    )
+    bundle = make_bundle(origins, dirs)
+    sh = march.march_rays(bundle, state, HIER_GRID, cfg_h)
+    sf = march.march_rays(bundle, state, HIER_GRID, cfg_f)
+    np.testing.assert_array_equal(np.asarray(sh.mask), np.asarray(sf.mask))
+    m = np.asarray(sf.mask)
+    np.testing.assert_allclose(
+        np.asarray(sh.t_starts)[m], np.asarray(sf.t_starts)[m], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.t_ends)[m], np.asarray(sf.t_ends)[m], atol=1e-5
+    )
+    assert m.sum() > 0
+
+
+def test_hierarchical_full_grid_spans_range():
+    """Startup regime (fully occupied grid): the two-phase march must still
+    spread samples across the whole range (no startup deadlock)."""
+    state = occ_lib.init_occ_grid(HIER_GRID)
+    cfg = hier_cfg()
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+    s = march.march_rays(bundle, state, HIER_GRID, cfg)
+    m = np.asarray(s.mask[0])
+    assert cfg.max_samples // 2 < m.sum() <= cfg.max_samples
+    t0 = np.asarray(s.t_starts[0])
+    t1 = np.asarray(s.t_ends[0])
+    outer_half = HIER_GRID.aabb_scale * 2.0 ** (HIER_GRID.levels - 1)
+    t_hi = min(outer_half + 3.0, cfg.far_plane)
+    assert abs(t0[0] - 1.0) < 0.2
+    assert t1[m.sum() - 1] > 0.8 * t_hi
+    covered = (t1 - t0)[: m.sum()].sum()
+    span = t1[m.sum() - 1] - t0[0]
+    assert covered > 0.6 * span
+    assert (np.diff(t0[: m.sum()]) > 0).all()
