@@ -71,6 +71,14 @@ class HashEncodingConfig:
     # ~16 ns/row sorted-permute gather of materialized rows); "autodiff"
     # keeps the materialized-row path (used as the oracle in tests).
     blocked_backward: str = "factored"
+    # Levels whose table has at most this many rows take their gradient
+    # through an EXACT per-level one-hot matmul instead of the sorted
+    # windowed accumulate. Coarse dense levels concentrate one update PER
+    # SAMPLE into a few hundred rows, blowing past the per-window update cap
+    # (overflow drops the tail — a silent ~4x gradient subsample at level 0
+    # flagship scale); the dense path has no cap, removes those updates from
+    # the sort, and costs ~1 ms of MXU time. 0 disables.
+    dense_grad_rows: int = 4096
 
     @property
     def table_size(self) -> int:
@@ -289,10 +297,47 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                 rows_u = jnp.pad(rows_u, ((0, 0), (0, Wrow - 27 * F)))
             return rows_u.astype(pdt)
 
-        dtab = sorted_window_accumulate_factored(
-            keys.reshape(-1), factors, make_rows, Wrow, total_rows,
-            out_dtype=jnp.float32, window=128,
-        )
+        # Dense-prefix levels: exact one-hot matmul per level (no sort, no
+        # per-window cap). blocked_level_rows is nondecreasing, so the
+        # qualifying levels are a prefix occupying the table's first
+        # `dense_total` rows.
+        level_rows = config.blocked_level_rows()
+        dense_L = int(np.searchsorted(level_rows, config.dense_grad_rows + 1))
+        dense_total = int(level_rows[:dense_L].sum())
+        fac2 = tuple(f.reshape(L, n) for f in factors)
+
+        parts = []
+        row_off = 0
+        for lev in range(dense_L):
+            rl = int(level_rows[lev])
+            rows_u = make_rows(tuple(f[lev] for f in fac2))  # (n, Wrow)
+            onehot = (
+                keys[lev][:, None]
+                == (jnp.arange(rl, dtype=jnp.int32) + row_off)[None, :]
+            ).astype(rows_u.dtype)  # (n, rl)
+            parts.append(
+                jax.lax.dot_general(
+                    onehot, rows_u,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (rl, Wrow)
+            )
+            row_off += rl
+
+        if dense_L < L:
+            keys_h = keys[dense_L:].reshape(-1) - dense_total
+            factors_h = tuple(f[dense_L:].reshape(-1) for f in fac2)
+            # window/batch_windows tuned on-chip (scripts/tune_accumulate.py):
+            # 512/16 measured 52.9 ms vs 72.0 ms at 128/8 — the lax.map
+            # iteration count dominates, not the per-window matmul
+            parts.append(
+                sorted_window_accumulate_factored(
+                    keys_h, factors_h, make_rows, Wrow,
+                    total_rows - dense_total,
+                    out_dtype=jnp.float32, window=512, batch_windows=16,
+                )
+            )
+        dtab = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return dtab.astype(table.dtype), dpos
 
     encode.defvjp(fwd, bwd)

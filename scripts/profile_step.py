@@ -4,6 +4,11 @@ Times each stage of the step in isolation at flagship shapes and prints a
 table (markdown) for PERFORMANCE.md plus one JSON line. Optionally writes a
 jax.profiler trace when --trace DIR is given.
 
+Stage timings use utils.timing.device_time (fori_loop of perturbed-input
+iterations per dispatch + host-fetch completion): the tunneled dev chip
+DEDUPES value-identical dispatches and does not block on small outputs, so
+naive fixed-input timeit loops read ~0 ms (see timing.py docstring).
+
 Stages:
   - march            ray marching (3512 rays merged col/prev/next)
   - hash_fwd         hash encode forward only (168k samples)
@@ -28,34 +33,17 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
-def timeit(fn, *args, reps=8, name=None):
-    """Median per-call time (robust to intermittent tunnel stalls)."""
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
-    if name:
-        print(f"[stage] {name}: {dt*1e3:.1f} ms "
-              f"(min {min(ts)*1e3:.1f}, max {max(ts)*1e3:.1f})", flush=True)
-    return dt
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=6, help="loop iters/dispatch")
+    ap.add_argument("--reps", type=int, default=8, help="full_step reps")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from lsenerf_tpu.utils.timing import device_time
     from lsenerf_tpu.utils.tpu_retry import warmup
 
     warmup()
@@ -77,6 +65,12 @@ def main():
     rng = np.random.default_rng(0)
     rows = {}
 
+    def stage(name, fn, sargs, perturb):
+        dt = device_time(fn, sargs, perturb, iters=args.iters, calls=3)
+        print(f"[stage] {name}: {dt*1e3:.1f} ms", flush=True)
+        rows[name] = dt
+        return dt
+
     # --- march at flagship ray count
     cams = dm.col.cameras
     idx = jnp.asarray(rng.integers(0, len(cams), n_rays), jnp.int32)
@@ -88,12 +82,22 @@ def main():
     )
     bundle = cam_lib.generate_rays(cams, idx, coords)
 
-    march_fn = jax.jit(
+    def perturb_bundle(a, salt):
+        b = a[0]
+        return (
+            b.replace(
+                origins=b.origins + salt.astype(jnp.float32) * 1e-7
+            ),
+        ) + tuple(a[1:])
+
+    stage(
+        "march",
         lambda b: march_lib.march_rays(
             b, state.occ, mcfg.grid, mcfg.march_config()
-        ).positions
+        ).positions,
+        (bundle,),
+        perturb_bundle,
     )
-    rows["march"] = timeit(march_fn, bundle, reps=args.reps, name="march")
 
     # --- hash encode at flagship sample count
     from lsenerf_tpu.ops import hash_encoding as he
@@ -102,32 +106,48 @@ def main():
     table = state.params["model"]["field"]["hash_table"]
     pos = jnp.asarray(rng.random((n_samples, 3), np.float32))
 
-    hash_fwd = jax.jit(lambda t, p: he.hash_encode(t, p, hcfg))
-    rows["hash_fwd"] = timeit(hash_fwd, table, pos, reps=args.reps, name="hash_fwd")
+    def perturb_pos(a, salt):
+        # jitter positions by an index-dependent epsilon: changes every
+        # gather key distribution negligibly but breaks the dispatch cache
+        return (a[0], (a[1] + salt.astype(jnp.float32) * 1e-6) % 1.0) + tuple(
+            a[2:]
+        )
 
-    hash_fwdbwd = jax.jit(
-        jax.grad(lambda t, p: he.hash_encode(t, p, hcfg).sum(), argnums=(0, 1))
+    stage(
+        "hash_fwd", lambda t, p: he.hash_encode(t, p, hcfg),
+        (table, pos), perturb_pos,
     )
-    rows["hash_fwdbwd"] = timeit(hash_fwdbwd, table, pos, reps=args.reps, name="hash_fwdbwd")
+    stage(
+        "hash_fwdbwd",
+        jax.grad(lambda t, p: he.hash_encode(t, p, hcfg).sum(), argnums=(0, 1)),
+        (table, pos), perturb_pos,
+    )
 
     # --- full field fwd / fwd+bwd
     fparams = state.params["model"]["field"]
     dirs = jnp.asarray(rng.random((n_samples, 3), np.float32) - 0.5)
     app = jnp.zeros((n_samples,), jnp.int32)
 
-    field_fwd = jax.jit(
-        lambda fp, p, d: field_lib.field_apply(fp, p, d, app, fcfg, train=True)[0]
-    )
-    rows["field_fwd"] = timeit(field_fwd, fparams, pos, dirs, reps=args.reps, name="field_fwd")
+    def perturb_pos2(a, salt):
+        return (a[0], (a[1] + salt.astype(jnp.float32) * 1e-6) % 1.0) + tuple(
+            a[2:]
+        )
 
-    field_fwdbwd = jax.jit(
+    stage(
+        "field_fwd",
+        lambda fp, p, d: field_lib.field_apply(fp, p, d, app, fcfg, train=True)[0],
+        (fparams, pos, dirs), perturb_pos2,
+    )
+    stage(
+        "field_fwdbwd",
         jax.grad(
             lambda fp, p, d: field_lib.field_apply(
                 fp, p, d, app, fcfg, train=True
-            )[0].sum()
-        )
+            )[0].sum(),
+            argnums=(0, 1),  # params AND positions, as in training
+        ),
+        (fparams, pos, dirs), perturb_pos2,
     )
-    rows["field_fwdbwd"] = timeit(field_fwdbwd, fparams, pos, dirs, reps=args.reps, name="field_fwdbwd")
 
     # --- micro stages: march internals
     from lsenerf_tpu.ops import occupancy as occ_lib
@@ -151,9 +171,7 @@ def main():
         )
         return occ
 
-    rows["march_cand_occ"] = timeit(
-        jax.jit(cand_occ), bundle, reps=args.reps, name="march_cand_occ"
-    )
+    stage("march_flat_cand_occ", cand_occ, (bundle,), perturb_bundle)
 
     # --- micro stages: hash backward split (blocked layout path)
     if hcfg.layout == "blocked":
@@ -167,48 +185,54 @@ def main():
         keys = jnp.asarray(rng.integers(0, T, m), jnp.int32)
         upd = jnp.asarray(rng.random((m, W), np.float32), gdt)
 
-        sort_fn = jax.jit(
-            lambda k_, g_: fg.sorted_window_accumulate(k_, g_, T, window=128)
-        )
-        rows["bwd_accumulate"] = timeit(
-            sort_fn, keys, upd, reps=args.reps, name="bwd_accumulate"
-        )
+        def perturb_keys(a, salt):
+            return ((a[0] + salt) % jnp.int32(T),) + tuple(a[1:])
 
-        sort_only = jax.jit(
+        stage(
+            "bwd_accumulate",
+            lambda k_, g_: fg.sorted_window_accumulate(k_, g_, T, window=128),
+            (keys, upd), perturb_keys,
+        )
+        stage(
+            "bwd_sort_only",
             lambda k_: jax.lax.sort(
                 [k_, jnp.arange(m, dtype=jnp.int32)], num_keys=1
-            )[0]
+            )[0],
+            (keys,), perturb_keys,
         )
-        rows["bwd_sort_only"] = timeit(
-            sort_only, keys, reps=args.reps, name="bwd_sort_only"
-        )
-
-        perm_only = jax.jit(lambda g_, o_: jnp.take(g_, o_, axis=0))
         order = jnp.asarray(rng.permutation(m).astype(np.int32))
-        rows["bwd_permute_only"] = timeit(
-            perm_only, upd, order, reps=args.reps, name="bwd_permute_only"
+        stage(
+            "bwd_permute_only",
+            lambda g_, o_: jnp.take(g_, o_, axis=0),
+            (upd, order),
+            lambda a, salt: (a[0], (a[1] + salt) % jnp.int32(m)),
         )
 
-    # --- occupancy update
+    # --- occupancy update (perturb the state rng; checksum covers occs)
     occ_update = trainer._occ_update
-    rows["occ_update"] = timeit(
-        occ_update, state, reps=max(2, args.reps // 2), name="occ_update"
+
+    def perturb_state(a, salt):
+        s = a[0]
+        return (s.replace(rng=jax.random.fold_in(s.rng, salt)),) + tuple(a[1:])
+
+    stage(
+        "occ_update", lambda s: occ_update(s).occ.occs, (state,), perturb_state
     )
 
-    # --- full step; the step donates its input state, so chain it through
-    # the calls instead of reusing a donated buffer
+    # --- full step: the chained-donated-state protocol is honest (verified
+    # by scripts/probe_bench_honesty.py: block-on-scalar vs host fetch agree)
     step = trainer.make_train_step()
     batch = {k_: jnp.asarray(v) for k_, v in dm.next_train(0).items()}
 
     def run_full(reps):
         st = state
-        st, m = step(st, batch)  # compile + warm
-        jax.block_until_ready(m["loss"])
+        st, mm = step(st, batch)  # compile + warm
+        _ = np.asarray(mm["loss"])
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            st, m = step(st, batch)
-            jax.block_until_ready(m["loss"])
+            st, mm = step(st, batch)
+            _ = np.asarray(mm["loss"])
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts))
         print(f"[stage] full_step: {dt*1e3:.1f} ms "
