@@ -330,11 +330,15 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             # window/batch_windows tuned on-chip (scripts/tune_accumulate.py):
             # 512/16 measured 52.9 ms vs 72.0 ms at 128/8 — the lax.map
             # iteration count dominates, not the per-window matmul
+            # max_updates_factor=3 is safe once the dense prefix is removed:
+            # remaining (hashed/uniform) levels have near-Poisson density per
+            # key, so a 3x-mean window cap needs a >3x hot spot to overflow
             parts.append(
                 sorted_window_accumulate_factored(
                     keys_h, factors_h, make_rows, Wrow,
                     total_rows - dense_total,
                     out_dtype=jnp.float32, window=512, batch_windows=16,
+                    max_updates_factor=3,
                 )
             )
         dtab = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
