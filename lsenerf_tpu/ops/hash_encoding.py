@@ -71,6 +71,16 @@ class HashEncodingConfig:
     # ~16 ns/row sorted-permute gather of materialized rows); "autodiff"
     # keeps the materialized-row path (used as the oracle in tests).
     blocked_backward: str = "factored"
+    # Trilinear-combine implementation for the blocked layout: "pallas"
+    # fuses the 27-vertex weight contraction into one memory pass; "xla"
+    # keeps the jnp path; "auto" probes the Mosaic toolchain (subprocess,
+    # timeout-guarded — the remote compiler sometimes hangs) and falls
+    # back. Default "xla": measured step-level NEUTRAL on this chip (XLA
+    # already fuses the combine inside the full train step; the 13.8 ms
+    # isolated-stage cost does not survive in-step fusion) while the
+    # toolchain risk is real. Revisit if a future toolchain compiles it
+    # reliably.
+    combine_impl: str = "xla"
     # Levels whose table has at most this many rows take their gradient
     # through an EXACT per-level one-hot matmul instead of the sorted
     # windowed accumulate. Coarse dense levels concentrate one update PER
@@ -216,6 +226,12 @@ def _blocked_fast_fn(config: HashEncodingConfig):
     scalings_np = config.scalings().astype(np.float32)
     pdt = jnp.bfloat16 if config.gather_dtype == "bfloat16" else jnp.float32
 
+    use_pallas = config.combine_impl == "pallas"
+    if config.combine_impl == "auto":
+        from lsenerf_tpu.ops import pallas_combine
+
+        use_pallas = pallas_combine.available()
+
     def fwd_core(table, positions):
         n = positions.shape[0]
         keys, (ox, wx), (oy, wy), (oz, wz) = _blocked_keys_fracs(positions, config)
@@ -223,7 +239,16 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         if config.gather_dtype == "bfloat16":
             gtable = table.astype(jnp.bfloat16)
         rows = jnp.take(gtable, keys.reshape(-1), axis=0)  # (m, Wrow)
-        out = _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config)
+        if use_pallas:
+            from lsenerf_tpu.ops import pallas_combine
+
+            ex = (ox.astype(jnp.float32) + wx).reshape(-1)
+            ey = (oy.astype(jnp.float32) + wy).reshape(-1)
+            ez = (oz.astype(jnp.float32) + wz).reshape(-1)
+            feats = pallas_combine.combine(rows, ex, ey, ez, F)  # (F, m)
+            out = feats.reshape(F, L, n).transpose(2, 1, 0).reshape(n, L * F)
+        else:
+            out = _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config)
         # `table` rides along only for its dtype (param buffer, no copy)
         return out, (keys, rows, ox, wx, oy, wy, oz, wz, table)
 
@@ -243,22 +268,39 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         gfeat = g.reshape(n, L, F).transpose(2, 1, 0).reshape(F, m)  # (F, m)
 
         # ---- position gradients (through the trilinear weights) ----
-        rows27 = rows.T.astype(jnp.float32)[: 27 * F].reshape(27, F, m)
-        dw27 = (rows27 * gfeat[None]).sum(axis=1).reshape(3, 3, 3, m)
-        ux, uy, uz = _dim_weights(ox, wx), _dim_weights(oy, wy), _dim_weights(oz, wz)
-        dux = (dw27 * uy[None, :, None] * uz[None, None, :]).sum(axis=(1, 2))
-        duy = (dw27 * ux[:, None, None] * uz[None, None, :]).sum(axis=(0, 2))
-        duz = (dw27 * ux[:, None, None] * uy[None, :, None]).sum(axis=(0, 1))
-
-        def dw_of(du, o):
-            of = o.astype(jnp.float32).reshape(-1)
-            # du/dw rows over slots {o, o+1}: [-(1-o), (1-2o), o]
-            return -du[0] * (1.0 - of) + du[1] * (1.0 - 2.0 * of) + du[2] * of
-
         scal = jnp.asarray(scalings_np)[:, None]  # (L, 1)
-        dpx = (dw_of(dux, ox).reshape(L, n) * scal).sum(axis=0)
-        dpy = (dw_of(duy, oy).reshape(L, n) * scal).sum(axis=0)
-        dpz = (dw_of(duz, oz).reshape(L, n) * scal).sum(axis=0)
+        if use_pallas:
+            from lsenerf_tpu.ops import pallas_combine
+
+            ex = (ox.astype(jnp.float32) + wx).reshape(-1)
+            ey = (oy.astype(jnp.float32) + wy).reshape(-1)
+            ez = (oz.astype(jnp.float32) + wz).reshape(-1)
+            dw = pallas_combine.combine_bwd_dw(rows, gfeat, ex, ey, ez, F)
+            dpx = (dw[0].reshape(L, n) * scal).sum(axis=0)
+            dpy = (dw[1].reshape(L, n) * scal).sum(axis=0)
+            dpz = (dw[2].reshape(L, n) * scal).sum(axis=0)
+        else:
+            rows27 = rows.T.astype(jnp.float32)[: 27 * F].reshape(27, F, m)
+            dw27 = (rows27 * gfeat[None]).sum(axis=1).reshape(3, 3, 3, m)
+            ux, uy, uz = (
+                _dim_weights(ox, wx),
+                _dim_weights(oy, wy),
+                _dim_weights(oz, wz),
+            )
+            dux = (dw27 * uy[None, :, None] * uz[None, None, :]).sum(axis=(1, 2))
+            duy = (dw27 * ux[:, None, None] * uz[None, None, :]).sum(axis=(0, 2))
+            duz = (dw27 * ux[:, None, None] * uy[None, :, None]).sum(axis=(0, 1))
+
+            def dw_of(du, o):
+                of = o.astype(jnp.float32).reshape(-1)
+                # du/dw rows over slots {o, o+1}: [-(1-o), (1-2o), o]
+                return (
+                    -du[0] * (1.0 - of) + du[1] * (1.0 - 2.0 * of) + du[2] * of
+                )
+
+            dpx = (dw_of(dux, ox).reshape(L, n) * scal).sum(axis=0)
+            dpy = (dw_of(duy, oy).reshape(L, n) * scal).sum(axis=0)
+            dpz = (dw_of(duz, oz).reshape(L, n) * scal).sum(axis=0)
         dpos = jnp.stack([dpx, dpy, dpz], axis=1)
 
         # ---- table gradient: factored sort + in-window row rebuild ----
@@ -337,7 +379,7 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                 sorted_window_accumulate_factored(
                     keys_h, factors_h, make_rows, Wrow,
                     total_rows - dense_total,
-                    out_dtype=jnp.float32, window=512, batch_windows=16,
+                    out_dtype=jnp.float32, window=512, batch_windows=32,
                     max_updates_factor=3,
                 )
             )

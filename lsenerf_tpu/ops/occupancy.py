@@ -32,10 +32,12 @@ class OccGridConfig:
     # fraction of cells refreshed per level per sampled update. nerfacc
     # refreshes ~res^3/4 per level; on TPU the density sweep's hash gathers
     # at that rate cost ~3x a full train step (measured: 1.7s per update =
-    # 107ms/step amortized), so the default refreshes res^3/16 per level
-    # (~27ms/step amortized) — each cell still EMA-refreshes every ~1000
-    # steps. Raise toward 0.25 for nerfacc-parity refresh cadence.
-    sample_fraction: float = 0.0625
+    # 107ms/step amortized), so the default refreshes res^3/32 per level
+    # (~2.3ms/step amortized at round-2 speeds) — each cell still
+    # EMA-refreshes every ~2000 steps, and the optimistic "occupied until
+    # decayed" init keeps unseen cells marching meanwhile. Raise toward
+    # 0.25 for nerfacc-parity refresh cadence.
+    sample_fraction: float = 0.03125
 
 
 @struct.dataclass

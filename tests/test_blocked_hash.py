@@ -243,3 +243,64 @@ def test_factored_backward_bf16_close(cfg):
     gt_ref = np.asarray(jax.grad(loss(cfg_ref))(tab))
     scale = np.abs(gt_ref).max()
     np.testing.assert_allclose(gt_bf, gt_ref, atol=0.03 * scale)
+
+
+def test_pallas_combine_matches_xla(cfg):
+    """The Pallas fused combine (interpret mode on CPU) must equal the XLA
+    combine path — outputs AND both gradient paths."""
+    from dataclasses import replace
+
+    cfg_p = replace(cfg, blocked_backward="factored", combine_impl="pallas")
+    cfg_x = replace(cfg, blocked_backward="factored", combine_impl="xla")
+    tab = he.init_hash_table(jax.random.PRNGKey(12), cfg) * 10.0
+    pos = jax.random.uniform(jax.random.PRNGKey(13), (301, 3))
+    probe = jax.random.normal(jax.random.PRNGKey(14), (301, cfg.out_dim))
+
+    out_p = np.asarray(he.hash_encode(tab, pos, cfg_p))
+    out_x = np.asarray(he.hash_encode(tab, pos, cfg_x))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-5, atol=1e-5)
+
+    def loss(c):
+        return lambda t, p: (he.hash_encode(t, p, c) * probe).sum()
+
+    gt_p, gp_p = jax.grad(loss(cfg_p), argnums=(0, 1))(tab, pos)
+    gt_x, gp_x = jax.grad(loss(cfg_x), argnums=(0, 1))(tab, pos)
+    np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_combine_unit():
+    """Kernel-level check against a direct numpy trilinear contraction."""
+    from lsenerf_tpu.ops import pallas_combine
+
+    rng = np.random.default_rng(3)
+    m, F = 37, 2
+    rows = rng.standard_normal((m, 64)).astype(np.float32)
+    o = rng.integers(0, 2, (3, m)).astype(np.float32)
+    w = rng.random((3, m)).astype(np.float32)
+    e = o + w
+
+    got = np.asarray(
+        pallas_combine.combine(
+            jnp.asarray(rows), jnp.asarray(e[0]), jnp.asarray(e[1]),
+            jnp.asarray(e[2]), F,
+        )
+    )
+
+    def u(ov, wv):
+        return np.stack(
+            [(1 - wv) * (1 - ov), wv * (1 - ov) + (1 - wv) * ov, wv * ov]
+        )
+
+    ux, uy, uz = u(o[0], w[0]), u(o[1], w[1]), u(o[2], w[2])
+    want = np.zeros((F, m))
+    for vx in range(3):
+        for vy in range(3):
+            for vz in range(3):
+                v = (vx * 3 + vy) * 3 + vz
+                wt = ux[vx] * uy[vy] * uz[vz]
+                for f in range(F):
+                    want[f] += wt * rows[:, v * F + f]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
