@@ -62,6 +62,13 @@ class MarchConfig:
     hierarchical: bool = True
     coarse_factor: int = 8
     max_coarse_segments: int = 32
+    # Also test each segment's midpoint (3 points/segment instead of the 2
+    # shared endpoints). Midpoints halve the corner-crossing miss window at
+    # +50% phase-1 lookups. Off by default: segments span <=0.26 supercells,
+    # so an endpoint-only miss needs a supercell corner clip shorter than
+    # the segment strictly between its endpoints — and any such miss only
+    # perturbs the (heuristic, stop-gradient) sample placement.
+    test_segment_midpoints: bool = False
 
 
 def ray_aabb_intersect(
@@ -170,15 +177,15 @@ def march_rays(
         # build_super_binaries)
         jc = jnp.arange(mc + 1, dtype=jnp.float32)[None, :] * cf
         tc = ts_at_indices(t_lo, jc, config)  # (n, mc+1)
-        mids_c = 0.5 * (tc[:, :-1] + tc[:, 1:])
         super_bin = occ_lib.build_super_binaries(
             occ_state.binaries, cf, occ_config
         )
         occ_b = lookup(super_bin, tc)  # (n, mc+1) boundary points
-        occ_m = lookup(super_bin, mids_c)  # (n, mc)
-        keep_c = (occ_b[:, :-1] | occ_b[:, 1:] | occ_m) & (
-            tc[:, :-1] < t_hi[:, None]
-        )
+        keep_c = occ_b[:, :-1] | occ_b[:, 1:]
+        if config.test_segment_midpoints:
+            mids_c = 0.5 * (tc[:, :-1] + tc[:, 1:])
+            keep_c = keep_c | lookup(super_bin, mids_c)
+        keep_c = keep_c & (tc[:, :-1] < t_hi[:, None])
 
         slot_c = jnp.cumsum(keep_c, axis=1) - 1
         count_c = jnp.sum(keep_c, axis=1)  # (n,)
