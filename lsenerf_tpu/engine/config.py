@@ -142,7 +142,7 @@ class ModelCLI:
     max_candidates: int = 1024
     hierarchical_march: bool = True
     coarse_factor: int = 8
-    max_coarse_segments: int = 32
+    max_coarse_segments: int = 24
     compact_chunk: int = 0
     disable_scene_contraction: bool = False
     background_color: str = "random"

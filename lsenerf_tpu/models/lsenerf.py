@@ -57,7 +57,7 @@ class ModelConfig:
     # sampling
     hierarchical_march: bool = True
     coarse_factor: int = 8
-    max_coarse_segments: int = 32
+    max_coarse_segments: int = 24
     # evaluate the field only on chunks containing valid samples: samples are
     # validity-sorted and all-invalid chunks skipped via lax.cond — converts
     # occupancy-grid sparsity into real gather/FLOP savings despite the

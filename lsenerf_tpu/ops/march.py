@@ -15,11 +15,12 @@ Key tricks:
   - hierarchical (two-phase) testing: TPU occupancy gathers are
     latency-bound per row, so instead of testing all max_candidates
     midpoints, phase 1 tests coarse SEGMENTS of `coarse_factor` candidates
-    (at segment midpoints + endpoints) against a conservative OR-downsampled
-    supergrid (occupancy.build_super_binaries) and stride-compacts occupied
-    segments into `max_coarse_segments` slots; phase 2 tests only the fine
-    candidates inside selected segments — ~2x fewer gather rows, exact vs
-    the flat scan whenever occupied segments fit the budgets;
+    (at their shared endpoints; optionally also midpoints) against a
+    conservative OR-downsampled supergrid (occupancy.build_super_binaries)
+    and stride-compacts occupied segments into `max_coarse_segments` slots;
+    phase 2 tests only the fine candidates inside selected segments — ~3x
+    fewer gather rows, exact vs the flat scan whenever occupied segments
+    fit the budgets;
   - compaction of occupied candidates into the per-ray sample budget is a
     batched one-hot MXU matmul (TPU scatters cost ~90 ns/index).
 
@@ -61,7 +62,7 @@ class MarchConfig:
     # flat path uses.
     hierarchical: bool = True
     coarse_factor: int = 8
-    max_coarse_segments: int = 32
+    max_coarse_segments: int = 24
     # Also test each segment's midpoint (3 points/segment instead of the 2
     # shared endpoints). Midpoints halve the corner-crossing miss window at
     # +50% phase-1 lookups. Off by default: segments span <=0.26 supercells,
