@@ -22,8 +22,8 @@ from lsenerf_tpu.utils.tpu_retry import warmup  # noqa: E402
 
 warmup()
 
-M = 3512 * 48 * 16  # flagship update count
-T = 199494  # flagship blocked table rows
+M = 3512 * 48 * 13  # flagship HASHED-level update count (dense prefix bypasses)
+T = 205869  # flagship hashed-level rows (total minus 5218-row dense prefix)
 rng = np.random.default_rng(0)
 keys = jnp.asarray(rng.integers(0, T, M), jnp.int32)
 
@@ -104,8 +104,8 @@ def make_rows(seg):
 
 
 for window, bw, muf in [
-    (128, 8, 6), (128, 32, 6), (256, 8, 6), (256, 32, 6), (512, 16, 6),
-    (128, 8, 3), (256, 8, 3), (512, 16, 3),
+    (512, 32, 3), (256, 32, 3), (256, 64, 3), (384, 32, 3), (512, 64, 3),
+    (768, 32, 3), (512, 32, 2),
 ]:
     def fn(k, *f, window=window, bw=bw, muf=muf):
         return sorted_window_accumulate_factored(
