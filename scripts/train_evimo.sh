@@ -1,10 +1,10 @@
 #!/bin/bash
-# Train driver for LSENeRF-format scenes
-# (parity with reference scripts/train_lse_data.sh).
-# Usage: scripts/train_lse_data.sh <data_dir> [preset]
+# Train driver for EVIMOv2 scenes
+# (parity with reference scripts/train_evimo.sh).
+# Usage: scripts/train_evimo.sh <data_dir> [preset=badnerf]
 set -e
-DATA="${1:?usage: train_lse_data.sh <data_dir> [preset=lsenerf]}"
-PRESET="${2:-lsenerf}"
+DATA="${1:?usage: train_evimo.sh <data_dir> [preset=badnerf]}"
+PRESET="${2:-badnerf}"
 source "$(dirname "$0")/../configs/${PRESET}.sh"
 
 seed=96
@@ -18,7 +18,7 @@ evs_cam_opt=SO3xR3
 col_cam_opt_type=spline
 evs_cam_opt_type=ns
 ev_one=gt
-scale_fac=0.08   # reference scripts/train_lse_data.sh:33 (LSENeRF real scenes)
+scale_fac=1.0   # reference scripts/train_evimo.sh:32 (EVIMOv2 scenes)
 scene_scale=1.0
 
 python train.py lsenerf --data "$DATA" \
