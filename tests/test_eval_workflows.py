@@ -120,3 +120,32 @@ def test_emb_eval_pretrain_stage(tmp_path, monkeypatch):
     step, params, occ = ckpt_lib.load_checkpoint(osp.dirname(pretrain_ckpts[-1]))
     app = params["model"]["field"]["appearance"]
     assert "test_table" in app
+
+
+def test_render_workflow(tmp_path, monkeypatch):
+    """render.py: reload a trained run and render PNG frames along the
+    camera trajectory (reference IS_RENDER mode, train.py:262-264)."""
+    import render as render_cli
+
+    monkeypatch.chdir(tmp_path)
+    run_dir = run_train(tmp_path)
+
+    out_dir = str(tmp_path / "renders")
+    render_cli.main(
+        [
+            "--load-dir", osp.join(run_dir, "checkpoints"),
+            "--load-config", osp.join(run_dir, "config.yml"),
+            "--output-dir", out_dir,
+            "--traj", "train",
+            "--chunk", "1024",
+        ]
+    )
+    # LSEWriter writes per-key subdirs (img/, depth/) under the output dir
+    frames = sorted(
+        glob.glob(osp.join(out_dir, "**", "*.png"), recursive=True)
+    )
+    assert frames, "render.py produced no frames"
+    import imageio.v2 as imageio
+
+    img = imageio.imread(frames[0])
+    assert img.ndim == 3 and img.shape[2] == 3 and np.isfinite(img).all()
