@@ -162,6 +162,12 @@ class PipelineCLI:
 class MachineConfig:
     seed: int = 42
     num_devices: int = 1
+    # Steps per device dispatch (lax.scan chunk). >1 amortizes host->device
+    # dispatch latency (the dev chip sits behind a ~20 ms tunnel; a scan of
+    # 16 gives the CLI the same throughput as bench.py). Logging/eval/save
+    # cadences fire when their step falls inside a chunk. Single-device
+    # only; ignored (forced 1) under a multi-device mesh.
+    scan_steps: int = 1
 
 
 @dataclass

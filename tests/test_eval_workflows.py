@@ -149,3 +149,16 @@ def test_render_workflow(tmp_path, monkeypatch):
 
     img = imageio.imread(frames[0])
     assert img.ndim == 3 and img.shape[2] == 3 and np.isfinite(img).all()
+
+
+def test_train_scan_steps(tmp_path, monkeypatch):
+    """--machine.scan-steps chunks the loop via lax.scan (dispatch
+    amortization); checkpoints and logs must still appear at their cadences."""
+    monkeypatch.chdir(tmp_path)
+    run_dir = run_train(
+        tmp_path, extra=["--machine.scan-steps", "4"], iters=24
+    )
+    ckpts = glob.glob(osp.join(run_dir, "checkpoints", "step-*"))
+    assert ckpts, "no checkpoint written under scan chunking"
+    logs = glob.glob(osp.join(run_dir, "metrics.jsonl"))
+    assert logs and open(logs[0]).read().count('"loss"') >= 1

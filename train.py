@@ -158,27 +158,71 @@ def main(argv=None):
     profile_dir = os.environ.get("LSENERF_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-    for it in range(start, end):
-        if it % model_cfg.grid.update_interval == 0 and not config.is_render:
-            state = trainer._occ_update(state)
-        raw = dm.next_train(it)
-        if mesh is not None:
-            from lsenerf_tpu.parallel import mesh as mesh_lib
 
-            batch = mesh_lib.shard_batch(raw, mesh)
+    # lax.scan chunking: >1 amortizes the per-dispatch host latency (the dev
+    # chip's tunnel costs ~20 ms/dispatch — scan_steps=16 gives the CLI the
+    # same throughput as bench.py). Multi-device sharding keeps per-step
+    # dispatch (the batch stacking axis would conflict with the ray shard).
+    scan_k = max(1, int(config.machine.scan_steps))
+    if mesh is not None and scan_k > 1:
+        print("[lsenerf-tpu] scan_steps forced to 1 under a multi-device mesh")
+        scan_k = 1
+    train_steps_multi = (
+        trainer.make_train_step_multi(scan_k) if scan_k > 1 else None
+    )
+
+    from lsenerf_tpu.utils.tpu_retry import with_tpu_retry
+
+    def covered(first, every):
+        """Does [first, first+scan_k-1] contain a multiple of `every`?"""
+        if first <= 0:
+            return True
+        return (first + scan_k - 1) // every > (first - 1) // every
+
+    first_dispatch = True
+    for it in range(start, end, scan_k):
+        if not config.is_render and covered(it, model_cfg.grid.update_interval):
+            if first_dispatch:
+                # first device compile of the process: the remote TPU
+                # compile helper intermittently SIGILLs there (see
+                # utils/tpu_retry.py) — retry with cooldown
+                state = with_tpu_retry(trainer._occ_update, state)
+            else:
+                state = trainer._occ_update(state)
+        if scan_k > 1:
+            batches = {
+                k: jnp.asarray(v)
+                for k, v in dm.next_train_stack(it, scan_k).items()
+            }
+            step_fn, batch = train_steps_multi, batches
         else:
-            batch = {k: jnp.asarray(v) for k, v in raw.items()}
-        state, metrics = trainer._train_step(state, batch)
-        if profile_dir and it == start + 30:
+            raw = dm.next_train(it)
+            if mesh is not None:
+                from lsenerf_tpu.parallel import mesh as mesh_lib
+
+                batch = mesh_lib.shard_batch(raw, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in raw.items()}
+            step_fn = trainer._train_step
+        if first_dispatch:
+            # the remote TPU compile helper intermittently crashes on the
+            # first compile of a fresh process (see utils/tpu_retry.py)
+            state, metrics = with_tpu_retry(step_fn, state, batch)
+            first_dispatch = False
+        else:
+            state, metrics = step_fn(state, batch)
+        # (make_train_step_multi already reduces metrics to the chunk's
+        # last step)
+        if profile_dir and it - start >= 30:
             jax.profiler.stop_trace()
             profile_dir = None
 
-        if it % 100 == 0:
+        if covered(it, 100):
             scal = {k: float(v) for k, v in metrics.items()}
             logger.log(it, scal)
-            if it % 1000 == 0:
+            if covered(it, 1000):
                 print(f"step {it}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
-        if (it + 1) % config.steps_per_eval_image == 0 and eval_ds is not None:
+        if covered(it + 1, config.steps_per_eval_image) and eval_ds is not None:
             # single-view eval (reference steps_per_eval_image cadence via
             # LSERandIndicesEvalDataloader, lse_datamanager.py:474-479)
             import numpy as _np
@@ -186,30 +230,46 @@ def main(argv=None):
             from lsenerf_tpu.engine import renderer as _renderer
             from lsenerf_tpu.ops import metrics as _metrics
 
+            # evals are auxiliary: a flaky eval-path compile (the remote
+            # helper can SIGILL on ANY fresh compile) must not kill a
+            # 200k-step training run — retry, then skip on failure
             vi = int(_np.random.default_rng(it).integers(0, len(eval_ds)))
-            out = _renderer.render_image(
-                state.params["model"], eval_ds.cameras, vi, state.occ,
-                trainer.model_config,
-                appearance_id=int(eval_ds.appearance_ids[vi]),
-                chunk=config.pipeline.model.eval_num_rays_per_chunk,
-            )
-            psnr_v = float(_metrics.psnr(
-                jnp.asarray(eval_ds.images[vi]), jnp.asarray(out["rgb"])
-            ))
-            logger.log(it, {"eval_psnr": psnr_v})
-            print(f"[eval-image @ {it}] view {vi} psnr {psnr_v:.2f}")
-        if (it + 1) % config.steps_per_save == 0:
+            try:
+                out = with_tpu_retry(
+                    _renderer.render_image,
+                    state.params["model"], eval_ds.cameras, vi, state.occ,
+                    trainer.model_config,
+                    appearance_id=int(eval_ds.appearance_ids[vi]),
+                    chunk=config.pipeline.model.eval_num_rays_per_chunk,
+                    attempts=3,
+                )
+                psnr_v = float(_metrics.psnr(
+                    jnp.asarray(eval_ds.images[vi]), jnp.asarray(out["rgb"])
+                ))
+                logger.log(it, {"eval_psnr": psnr_v})
+                print(f"[eval-image @ {it}] view {vi} psnr {psnr_v:.2f}")
+            except Exception as e:  # noqa: BLE001 — keep training alive
+                print(f"[eval-image @ {it}] SKIPPED ({type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]})")
+        if covered(it + 1, config.steps_per_save):
             ckpt_lib.save_checkpoint(
                 ckpt_dir, it, state.params, state.occ
             )
-        if (it + 1) % config.steps_per_eval_all_images == 0 and eval_ds is not None:
-            means = evaluation.average_eval_metrics(
-                trainer, state, eval_ds, base_dir,
-                chunk=config.pipeline.model.eval_num_rays_per_chunk,
-                apply_cam_opt=config.is_eval,
-                evs_only=(config.pipeline.datamanager.rgb_frac == 0),
-            )
-            print(f"[eval @ {it}] " + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+        if covered(it + 1, config.steps_per_eval_all_images) and eval_ds is not None:
+            try:
+                means = with_tpu_retry(
+                    evaluation.average_eval_metrics,
+                    trainer, state, eval_ds, base_dir,
+                    chunk=config.pipeline.model.eval_num_rays_per_chunk,
+                    apply_cam_opt=config.is_eval,
+                    evs_only=(config.pipeline.datamanager.rgb_frac == 0),
+                    attempts=3,
+                )
+                print(f"[eval @ {it}] "
+                      + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+            except Exception as e:  # noqa: BLE001 — keep training alive
+                print(f"[eval @ {it}] SKIPPED ({type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]})")
 
     ckpt_lib.save_checkpoint(ckpt_dir, end - 1, state.params, state.occ)
     logger.close()
