@@ -173,6 +173,30 @@ def main(argv=None):
 
     from lsenerf_tpu.utils.tpu_retry import with_tpu_retry
 
+    # Pre-warm the eval-render compile: the remote compile helper here is
+    # far more likely to SIGILL on compiles issued late in a long-running
+    # process, so compile the eval path up-front where it is reliable.
+    if (
+        eval_ds is not None
+        and config.steps_per_eval_image <= config.max_num_iterations
+        and not config.is_render
+    ):
+        from lsenerf_tpu.engine import renderer as _prerenderer
+
+        try:
+            with_tpu_retry(
+                _prerenderer.render_image,
+                state.params["model"], eval_ds.cameras, 0, state.occ,
+                trainer.model_config,
+                appearance_id=int(eval_ds.appearance_ids[0]),
+                chunk=config.pipeline.model.eval_num_rays_per_chunk,
+                attempts=2,
+            )
+            print("[lsenerf-tpu] eval render path pre-compiled")
+        except Exception as e:  # noqa: BLE001
+            print(f"[lsenerf-tpu] eval render pre-compile failed "
+                  f"({type(e).__name__}) — evals may be skipped")
+
     def covered(first, every):
         """Does [first, first+scan_k-1] contain a multiple of `every`?"""
         if first <= 0:
