@@ -1,11 +1,15 @@
-"""Benchmark: flagship-config training rays/sec on the local accelerator.
+"""Benchmark: training rays/sec on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The headline metric is the flagship config (reference method defaults:
+16-level 2^19 hash grid, 3512-ray batches, co_map + powpow mapping, event
+supervision). Extras report the PRODUCTION protocol (the paper's headline
+config, scripts/train_lse_data.sh: deblur x4 RGB rays + spline camera
+optimization) plus MFU / HBM-utilization diagnostics from XLA's cost model.
 
-Measurement: the full flagship train step (16-level 2^19 hash grid, 3512
-rays/step, co_map + powpow mapping, event supervision) run as a K-step
-lax.scan per device call (amortizes host dispatch; the dev chip here sits
-behind a network tunnel with ~20 ms RTT per call).
+Measurement: the full train step run as a K-step lax.scan per device call
+(amortizes host dispatch; the dev chip here sits behind a network tunnel
+with ~20 ms RTT per call), warmed to occupancy steady state first.
 
 Baseline context (BASELINE.md): the reference publishes no numbers. The
 comparison constant below is an engineering estimate of the reference stack's
@@ -17,34 +21,26 @@ BASELINE.md means vs_baseline >= 5.
 
 import argparse
 import json
+import sys
 import time
 
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 4.0e5
 SCAN_K = 16  # steps per device call == occupancy update interval
 
+# v5e peak numbers for the utilization diagnostics
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--trace",
-        default=None,
-        metavar="DIR",
-        help="write a jax.profiler trace of the timed steps to DIR "
-        "(inspect with tensorboard / xprof; see scripts/profile_step.py "
-        "for the per-stage cost breakdown table)",
-    )
-    args = ap.parse_args()
 
+def _measure(production: bool, warm_chunks: int = 20, n_chunks: int = 8,
+             trace_dir=None):
     import jax
     import jax.numpy as jnp
 
-    from lsenerf_tpu.utils.tpu_retry import warmup, with_tpu_retry
-
-    warmup()
-
     from __graft_entry__ import _flagship
+    from lsenerf_tpu.utils.tpu_retry import with_tpu_retry
 
-    trainer, state = _flagship(tiny=False)
+    trainer, state = _flagship(tiny=False, production=production)
     train_steps = trainer.make_train_step_multi(SCAN_K)
     occ_update = trainer._occ_update
     rays_per_step = trainer.dm.config.train_num_rays_per_batch
@@ -63,12 +59,24 @@ def main():
     # throughput number measures
     state, m = with_tpu_retry(chunk, state, 0)
     jax.block_until_ready(m["loss"])
-    warm_chunks = 20
     for i in range(warm_chunks):
         state, m = chunk(state, (i + 1) * SCAN_K)
     jax.block_until_ready(m["loss"])
 
-    n_chunks = 8
+    # XLA cost model for the utilization diagnostics (per scan-K chunk)
+    flops = bytes_acc = None
+    try:
+        batches = {
+            k: jnp.asarray(v)
+            for k, v in trainer.dm.next_train_stack(0, SCAN_K).items()
+        }
+        cost = train_steps.lower(state, batches).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+    except Exception:  # noqa: BLE001 — diagnostics only
+        pass
 
     def timed_run(state):
         t0 = time.perf_counter()
@@ -77,23 +85,67 @@ def main():
         jax.block_until_ready(m["loss"])
         return time.perf_counter() - t0
 
-    if args.trace:
-        with jax.profiler.trace(args.trace):
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
             dt = timed_run(state)
     else:
         dt = timed_run(state)
 
     rays_per_sec = n_chunks * SCAN_K * rays_per_step / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
-            }
+    out = {"rays_per_sec": rays_per_sec}
+    chunk_dt = dt / n_chunks
+    if flops:
+        out["mfu_pct"] = round(100.0 * flops / chunk_dt / PEAK_BF16_FLOPS, 2)
+    if bytes_acc:
+        out["hbm_util_pct"] = round(
+            100.0 * bytes_acc / chunk_dt / PEAK_HBM_BYTES, 1
         )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the timed steps to DIR "
+        "(inspect with tensorboard / xprof; see scripts/profile_step.py "
+        "for the per-stage cost breakdown table)",
     )
+    ap.add_argument(
+        "--skip-production",
+        action="store_true",
+        help="only measure the flagship config (faster turnaround)",
+    )
+    args = ap.parse_args()
+
+    from lsenerf_tpu.utils.tpu_retry import warmup
+
+    warmup()
+
+    flag = _measure(production=False, trace_dir=args.trace)
+    record = {
+        "metric": "train_rays_per_sec",
+        "value": round(flag["rays_per_sec"], 1),
+        "unit": "rays/s",
+        "vs_baseline": round(
+            flag["rays_per_sec"] / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3
+        ),
+    }
+    for k in ("mfu_pct", "hbm_util_pct"):
+        if k in flag:
+            record[k] = flag[k]
+
+    if not args.skip_production:
+        try:
+            prod = _measure(production=True, warm_chunks=12, n_chunks=6)
+            record["production_rays_per_sec"] = round(prod["rays_per_sec"], 1)
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            print(f"production bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,11 @@ _LIB_PATH = osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 def build_library(force: bool = False) -> bool:
     src = osp.join(osp.dirname(_LIB_PATH), "fastloader.cpp")
-    if osp.exists(_LIB_PATH) and not force:
+    if (
+        osp.exists(_LIB_PATH)
+        and not force
+        and osp.getmtime(_LIB_PATH) >= osp.getmtime(src)
+    ):
         return True
     try:
         subprocess.run(
@@ -39,7 +43,7 @@ def get_library():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not osp.exists(_LIB_PATH) and not build_library():
+    if not build_library():  # no-op when the .so is newer than the source
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
@@ -58,6 +62,12 @@ def get_library():
     lib.lse_prefetcher_create.argtypes = [
         u8p, i64, i64, i64, i64, i64,
         f32p, i64, i64, i64, i64, i64,
+        i64, ctypes.c_float, u64,
+    ]
+    lib.lse_prefetcher_create_i16.restype = ctypes.c_void_p
+    lib.lse_prefetcher_create_i16.argtypes = [
+        u8p, i64, i64, i64, i64, i64,
+        ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64, i64, i64,
         i64, ctypes.c_float, u64,
     ]
     lib.lse_prefetcher_next.argtypes = [
@@ -98,25 +108,48 @@ class NativePrefetcher:
     """Double-buffered native batch producer."""
 
     def __init__(self, col_u8: np.ndarray | None, n_col: int,
-                 evs_f32: np.ndarray | None, n_evs: int,
-                 evs_img_limit: int, e_thresh: float, seed: int = 0):
+                 evs: np.ndarray | None, n_evs: int,
+                 evs_img_limit: int, e_thresh: float, seed: int = 0,
+                 evs_sel: np.ndarray | None = None):
+        """evs: eager (n,h,w,c) float32 frames, OR — with evs_sel — an int16
+        (N,h,w) backing buffer (typically a np.memmap over the on-disk .npy)
+        whose logical frame i lives at physical row evs_sel[i]. The memmap
+        form never materializes the stack: the C++ thread reads only the
+        sampled pixels' pages."""
         lib = get_library()
         assert lib is not None, "native library unavailable"
         self._lib = lib
         self.n_col, self.n_evs = n_col, n_evs
         self._col = col_u8 if col_u8 is not None else np.zeros((1, 1, 1, 3), np.uint8)
-        self._evs = (
-            evs_f32 if evs_f32 is not None else np.zeros((1, 1, 1, 1), np.float32)
-        )
         cn, ch, cw, cc = self._col.shape
+        self.cc = cc
+        self._step = 0
+        if evs_sel is not None and evs is not None:
+            assert evs.dtype == np.int16 and evs.ndim == 3
+            assert evs.flags["C_CONTIGUOUS"]
+            self._evs = evs  # keep the memmap alive
+            self._sel = np.ascontiguousarray(evs_sel, np.int64)
+            en = len(self._sel)
+            eh, ew, ec = evs.shape[1], evs.shape[2], 1
+            self.ec = ec
+            self._handle = lib.lse_prefetcher_create_i16(
+                self._col, cn, ch, cw, cc, n_col,
+                evs.ctypes.data_as(ctypes.c_void_p),
+                self._sel.ctypes.data_as(ctypes.c_void_p),
+                en, eh, ew, ec, n_evs,
+                evs_img_limit, e_thresh, seed,
+            )
+            return
+        self._evs = (
+            evs if evs is not None else np.zeros((1, 1, 1, 1), np.float32)
+        )
         en, eh, ew, ec = self._evs.shape
-        self.cc, self.ec = cc, ec
+        self.ec = ec
         self._handle = lib.lse_prefetcher_create(
             self._col, cn, ch, cw, cc, n_col,
             self._evs, en, eh, ew, ec, n_evs,
             evs_img_limit, e_thresh, seed,
         )
-        self._step = 0
 
     def next(self):
         col_idx = np.empty((max(self.n_col, 1), 3), np.int32)

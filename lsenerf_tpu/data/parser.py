@@ -61,6 +61,11 @@ class ParserConfig:
     use_gray: bool = False
     e_thresh: Optional[float] = None  # override dataset e_thresh
     event_type: Optional[str] = None  # alternate ecam dir (e.g. "decam_set")
+    # alternate colcam-dir selection (reference lse_parser.py:393-412):
+    # train reads <quality>_<image_type>_colcam_set when that dir exists;
+    # eval/val always read the "clear"-quality variant
+    quality: str = "clear"
+    image_type: str = "gamma"
 
 
 class SceneParser:
@@ -72,6 +77,24 @@ class SceneParser:
         self.col_dir = osp.join(root, "colcam_set")
         evs_name = self.config.event_type or "ecam_set"
         self.evs_dir = osp.join(root, evs_name)
+
+    def _get_img_dir(self, *nargs) -> str:
+        """<quality>_<image_type>_colcam_set when present, else colcam_set
+        (reference _get_img_dir, lse_parser.py:393-412)."""
+        prefix = "".join(f"{e}_" for e in nargs if e)
+        alt = osp.join(self.root, prefix + "colcam_set")
+        if prefix and osp.exists(alt):
+            return alt
+        if prefix and prefix != "clear_gamma_":
+            print(
+                "[parser] colcam quality/image_type provided but "
+                f"{alt} does not exist, loading default colcam_set"
+            )
+        return self.col_dir
+
+    def _col_dir_for_split(self, split: str) -> str:
+        quality = self.config.quality if split == "train" else "clear"
+        return self._get_img_dir(quality, self.config.image_type)
 
     # -- shared camera handling ---------------------------------------------
 
@@ -186,7 +209,7 @@ class SceneParser:
         """split handling incl. the eval-mode swap (lse_parser.py:410-430):
         IS_EVAL trains camera-opt on half_train_ids if present, else on the
         val split."""
-        d = self.col_dir
+        d = self._col_dir_for_split(split)
         dataset_meta = load_json(osp.join(d, "dataset.json"))
         split_map = {"train": "train_ids", "test": "val_ids", "val": "val_ids"}
         if split == "train" and is_eval and dataset_meta.get("half_train_ids"):

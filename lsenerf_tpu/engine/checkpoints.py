@@ -28,7 +28,19 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(ckpt_dir: str, step: int, params: dict, occ_state, opt_state=None):
+def _flatten_opt_state(opt_state) -> dict:
+    """optax states are nests of registered namedtuples; orbax's Standard
+    handler restores them as plain dicts/lists, so persist the LEAVES keyed
+    by position and rebuild with the live treedef on restore (the structure
+    is always reconstructable from the fresh `tx.init`)."""
+    leaves = jax.tree.flatten(opt_state)[0]
+    return {f"{i:04d}": np.asarray(x) for i, x in enumerate(leaves)}
+
+
+def save_checkpoint(ckpt_dir: str, step: int, params: dict, occ_state,
+                    opt_state=None, rng=None):
+    """Periodic save. With opt_state/rng this is an EXACT resume point
+    (reference saves optimizers + scaler, lse_trainer.py:94-98)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = osp.abspath(osp.join(ckpt_dir, f"step-{step:09d}"))
     payload = {
@@ -39,6 +51,10 @@ def save_checkpoint(ckpt_dir: str, step: int, params: dict, occ_state, opt_state
             "binaries": np.asarray(occ_state.binaries),
         },
     }
+    if opt_state is not None:
+        payload["opt_leaves"] = _flatten_opt_state(opt_state)
+    if rng is not None:
+        payload["rng"] = np.asarray(rng)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -83,11 +99,36 @@ def load_checkpoint(
     return int(payload["step"]), params, payload["occ"]
 
 
+def load_checkpoint_full(ckpt_dir: str, step: Optional[int] = None):
+    """Exact-resume load: (step, params, occ, opt_leaves|None, rng|None).
+    Mirrors the reference's --load-checkpoint path, which restores the
+    optimizers and grad scaler (lse_trainer.py:108-120), unlike --load-dir
+    which restores weights only."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        assert step is not None, f"no checkpoints found in {ckpt_dir}"
+    path = osp.abspath(osp.join(ckpt_dir, f"step-{step:09d}"))
+    payload = ocp.StandardCheckpointer().restore(path)
+    return (
+        int(payload["step"]),
+        payload["params"],
+        payload["occ"],
+        payload.get("opt_leaves"),
+        payload.get("rng"),
+    )
+
+
 def restore_into_state(state, payload_params: dict, occ: dict, step: int,
-                       strict: bool = False):
+                       strict: bool = False, opt_leaves: dict = None,
+                       rng=None):
     """Graft loaded arrays into a freshly-initialized TrainState (non-strict:
     missing/new keys keep their init values, mirroring load_state_dict
-    strict=False at lse_pipeline.py:236-247)."""
+    strict=False at lse_pipeline.py:236-247).
+
+    opt_leaves/rng (from load_checkpoint_full) make the resume EXACT: Adam
+    moments, schedule counts, and the occupancy-sampling RNG continue where
+    the save left off. A leaf-count/shape mismatch (changed model config)
+    keeps the fresh optimizer state instead."""
     import jax.numpy as jnp
 
     def merge(init_tree, loaded_tree):
@@ -116,6 +157,28 @@ def restore_into_state(state, payload_params: dict, occ: dict, step: int,
     new_occ = state.occ.replace(
         occs=jnp.asarray(occ["occs"]), binaries=jnp.asarray(occ["binaries"])
     )
+    new_opt = state.opt_state
+    if opt_leaves is not None:
+        init_leaves, treedef = jax.tree.flatten(state.opt_state)
+        loaded = [opt_leaves[k] for k in sorted(opt_leaves)]
+        compatible = len(loaded) == len(init_leaves) and all(
+            np.shape(a) == np.shape(b) for a, b in zip(loaded, init_leaves)
+        )
+        if compatible:
+            new_opt = jax.tree.unflatten(
+                treedef,
+                [
+                    jnp.asarray(a, dtype=getattr(b, "dtype", None))
+                    for a, b in zip(loaded, init_leaves)
+                ],
+            )
+        elif strict:
+            raise ValueError(
+                "checkpoint optimizer state is incompatible with the "
+                f"current config ({len(loaded)} vs {len(init_leaves)} leaves)"
+            )
+    new_rng = state.rng if rng is None else jnp.asarray(rng)
     return state.replace(
-        params=new_params, occ=new_occ, step=jnp.int32(step + 1)
+        params=new_params, occ=new_occ, step=jnp.int32(step + 1),
+        opt_state=new_opt, rng=new_rng,
     )

@@ -76,7 +76,9 @@ class ColDataparserConfig:
     scale_factor: float = 1.0
     scene_scale: float = 1.0
     use_gray: bool = False
-    image_type: str = "gamma"  # obsolete knob kept for flag parity
+    # alternate colcam-dir selection: train reads
+    # <quality>_<image_type>_colcam_set when present (lse_parser.py:393-412)
+    image_type: str = "gamma"
     quality: str = "clear"
 
 
@@ -167,7 +169,11 @@ class MachineConfig:
     # 16 gives the CLI the same throughput as bench.py). Logging/eval/save
     # cadences fire when their step falls inside a chunk. Single-device
     # only; ignored (forced 1) under a multi-device mesh.
-    scan_steps: int = 1
+    # 16 == the occupancy update interval == the bench protocol, so a default
+    # single-device `train.py` run achieves the published bench throughput;
+    # train.py forces 1 under a multi-device mesh (shard axis conflicts with
+    # the scan stacking axis).
+    scan_steps: int = 16
 
 
 @dataclass
@@ -179,6 +185,7 @@ class ExperimentConfig:
     data: str = ""
     max_num_iterations: int = 30000
     steps_per_save: int = 2000
+    steps_per_eval_batch: int = 500  # reference lse_config.py:16
     steps_per_eval_image: int = 500
     steps_per_eval_all_images: int = 25000
     vis: str = "tensorboard"
@@ -467,6 +474,7 @@ def build_runtime_configs(config: ExperimentConfig):
     trainer_cfg = TrainerConfig(
         max_num_iterations=config.max_num_iterations,
         steps_per_save=config.steps_per_save,
+        steps_per_eval_batch=config.steps_per_eval_batch,
         steps_per_eval_image=config.steps_per_eval_image,
         steps_per_eval_all_images=config.steps_per_eval_all_images,
         seed=config.machine.seed,
@@ -495,5 +503,7 @@ def build_runtime_configs(config: ExperimentConfig):
         use_gray=dm.col_dataparser.use_gray,
         e_thresh=e_thresh,
         event_type=event_type,
+        quality=dm.col_dataparser.quality,
+        image_type=dm.col_dataparser.image_type,
     )
     return trainer_cfg, model_cfg, dm_cfg, parser_cfg

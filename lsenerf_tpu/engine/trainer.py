@@ -79,6 +79,7 @@ class CameraOptConfig:
 class TrainerConfig:
     max_num_iterations: int = 30000  # reference lse_config.py:18
     steps_per_save: int = 2000
+    steps_per_eval_batch: int = 500  # reference lse_config.py:16
     steps_per_eval_image: int = 500
     steps_per_eval_all_images: int = 25000
     seed: int = 42
@@ -408,16 +409,23 @@ class Trainer:
                 bundles.append(col_b)
                 sizes.append(col_b.origins.shape[0])
                 col_batch = {"image": batch["col_rgb"]}
+            # denerf shortcut (reference lse_pipeline.py:120-123): the next
+            # bundle is never rendered and next_out aliases prev_out
+            denerf = "denerf" in mcfg.event_loss_type
             if has_evs:
                 prev_b, next_b = self._make_evs_bundles(cam_params, batch, evs_gate)
-                bundles.extend([prev_b, next_b])
-                sizes.extend([prev_b.origins.shape[0], next_b.origins.shape[0]])
+                bundles.append(prev_b)
+                sizes.append(prev_b.origins.shape[0])
+                if not denerf:
+                    bundles.append(next_b)
+                    sizes.append(next_b.origins.shape[0])
                 evs_batch = {
                     "image": batch["evs_values"],
                     "e_thresh": batch["e_thresh"],
                 }
             big = model_lib.concat_bundles(bundles) if len(bundles) > 1 else bundles[0]
             raw = model_lib.render_bundle(params["model"], big, occ, mcfg, train=True)
+            overflow = raw.pop("grad_overflow", None)  # scalar, not sliceable
             offs = [0]
             for s in sizes:
                 offs.append(offs[-1] + s)
@@ -435,7 +443,7 @@ class Trainer:
                     model_lib.slice_outputs(raw, offs[cursor], offs[cursor + 1]),
                     mcfg, train=True, ev_out=True,
                 )
-                next_out = model_lib.postprocess_outputs(
+                next_out = prev_out if denerf else model_lib.postprocess_outputs(
                     params["model"],
                     model_lib.slice_outputs(raw, offs[cursor + 1], offs[cursor + 2]),
                     mcfg, train=True, ev_out=True,
@@ -445,6 +453,8 @@ class Trainer:
             )
             total = sum(loss_dict.values())
             metrics = dict(loss_dict)
+            if overflow is not None:
+                metrics["grad_overflow"] = overflow
             # camera-opt norms (reference lse_pipeline.py:134-142)
             for name, cp in cam_params.items():
                 if isinstance(cp, dict) and "pose_adjustment" in cp:
@@ -476,6 +486,28 @@ class Trainer:
             )
 
         return step_impl
+
+    def make_eval_batch_fn(self, cameras):
+        """Jitted eval-ray-batch loss (nerfstudio Trainer
+        steps_per_eval_batch cadence, reference lse_config.py:16): render a
+        random pixel batch from the eval split and report rgb loss + psnr.
+        Camera indices/coords/gt are traced arguments so every cadence hit
+        reuses ONE compile."""
+        mcfg = self.model_config
+
+        @jax.jit
+        def eval_batch(params, occ, idx, coords, gt, app_id):
+            bundle = cam_lib.generate_rays(cameras, idx, coords)
+            meta = dict(bundle.metadata)
+            meta["appearance_id"] = app_id
+            bundle = bundle.replace(metadata=meta)
+            out = model_lib.model_forward(
+                params["model"], bundle, occ, mcfg, train=False
+            )
+            mse = jnp.mean((out["rgb"] - gt) ** 2)
+            return {"eval_loss": mse, "eval_batch_psnr": -10.0 * jnp.log10(mse)}
+
+        return eval_batch
 
     # -- occupancy maintenance ----------------------------------------------
 

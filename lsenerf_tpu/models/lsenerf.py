@@ -66,6 +66,12 @@ class ModelConfig:
     # occupancy grid converges). Value = chunk size in samples.
     compact_chunk: int = 0
     background_color: str = "random"  # NGP eval background
+    # Train metric "grad_overflow": number of hash-table gradient updates the
+    # sorted windowed backward would drop this step (0 == exact backward; see
+    # ops/hash_encoding.blocked_overflow_count). Costs ~one extra key sort
+    # per step (~15% at flagship scale), so off by default — turn on when
+    # validating a new scene/config against the overflow contract.
+    grad_overflow_telemetry: bool = False
 
     evs_loss_weight: float = 1.0
     event_loss_type: str = "log_loss"  # or "enerf_norm_loss"
@@ -177,6 +183,15 @@ def render_bundle(
         "accumulation": composite.render_accumulation(weights),
         "num_samples_per_ray": jnp.sum(samples.mask, axis=-1),
     }
+    if (
+        train
+        and config.grad_overflow_telemetry
+        and config.field.hash.layout == "blocked"
+    ):
+        from lsenerf_tpu.ops import hash_encoding as he
+
+        unit, _ = field_lib.contract_positions(positions, config.field)
+        out["grad_overflow"] = he.blocked_overflow_count(unit, config.field.hash)
     return out
 
 

@@ -176,6 +176,25 @@ def sorted_window_accumulate_factored(
     return out[:table_len]
 
 
+def window_overflow_count(
+    idx: jnp.ndarray, table_len: int, window: int, max_updates: int
+) -> jnp.ndarray:
+    """How many updates the windowed accumulate would DROP for these indices.
+
+    The overflow contract (module docstring) drops the tail of any window
+    holding more than max_updates sorted updates. This counts exactly those:
+    sort the keys, take each window's [start, end) span via searchsorted,
+    and sum relu(span - max_updates). Pure function of the indices — cheap
+    enough (one 1-column sort) to run as training telemetry.
+    """
+    n_windows = _round_up(table_len, window) // window
+    si = jax.lax.sort([idx], num_keys=1)[0]
+    bounds = jnp.arange(n_windows + 1, dtype=jnp.int32) * window
+    starts = jnp.searchsorted(si, bounds).astype(jnp.int32)
+    span = starts[1:] - starts[:-1]
+    return jnp.sum(jnp.maximum(span - max_updates, 0))
+
+
 @jax.custom_vjp
 def take_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(F, T) table, (m,) int idx -> (F, m). Differentiable in `table`."""

@@ -165,6 +165,14 @@ def march_rays(
         config.hierarchical
         and config.max_candidates % cf == 0
         and occ_config.resolution % cf == 0
+        # multi-level grids additionally need the supergrid side divisible
+        # by 4 for build_super_binaries' adjacent-level merge (its
+        # conservativeness depends on the merge, so fall back to the flat
+        # path rather than march against an un-merged supergrid)
+        and (
+            occ_config.levels == 1
+            or (occ_config.resolution // cf) % 4 == 0
+        )
         and config.max_candidates // cf > config.max_coarse_segments
     )
     if use_hier:

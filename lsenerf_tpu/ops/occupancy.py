@@ -112,7 +112,10 @@ def build_super_binaries(
     R = binaries.shape[-1]
     S = R // factor
     sb = binaries.reshape(L, S, factor, S, factor, S, factor).any(axis=(2, 4, 6))
-    if L > 1 and S >= 4:
+    # the adjacent-level merge needs S divisible by 4 (S//2 downsample and a
+    # 2x upsample of the central [q:3q) half must tile S exactly); callers
+    # (march.use_hier) fall back to the flat path otherwise
+    if L > 1 and S >= 4 and S % 4 == 0:
         q = S // 4
         # level l down-2 -> occupies the central half of level l+1's extent
         down = sb.reshape(L, S // 2, 2, S // 2, 2, S // 2, 2).any(axis=(2, 4, 6))

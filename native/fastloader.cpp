@@ -100,9 +100,16 @@ void sample_and_gather_f32(const float* frames, Dims d, uint64_t seed,
   for (auto& t : ts) t.join();
 }
 
-void sample_and_gather_i16(const int16_t* frames, Dims d, uint64_t seed,
-                           int64_t n_rays, int64_t img_limit, float scale,
-                           int32_t* out_idx, float* out_val, int n_threads) {
+// int16 event frames with an optional frame-index translation table:
+// `sel` maps the LOGICAL frame index (what training sees, d.n_imgs entries)
+// to the PHYSICAL frame in the backing buffer. This is the memmap path —
+// `frames` may point straight into an OS-mapped .npy, so the only pages
+// ever touched are the ones sampled pixels land on, and the page-fault IO
+// happens on the prefetcher thread, overlapped with the training step.
+void sample_and_gather_i16(const int16_t* frames, const int64_t* sel, Dims d,
+                           uint64_t seed, int64_t n_rays, int64_t img_limit,
+                           float scale, int32_t* out_idx, float* out_val,
+                           int n_threads) {
   if (img_limit <= 0 || img_limit > d.n_imgs) img_limit = d.n_imgs;
   auto worker = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
@@ -115,12 +122,23 @@ void sample_and_gather_i16(const int16_t* frames, Dims d, uint64_t seed,
       out_idx[3 * i] = ci;
       out_idx[3 * i + 1] = yi;
       out_idx[3 * i + 2] = xi;
-      const int16_t* px = frames + ((ci * d.h + yi) * d.w + xi) * d.c;
+      int64_t phys = sel ? sel[ci] : ci;
+      const int16_t* px = frames + ((phys * d.h + yi) * d.w + xi) * d.c;
       for (int64_t k = 0; k < d.c; ++k) out_val[i * d.c + k] = px[k] * scale;
     }
   };
-  worker(0, n_rays);
-  (void)n_threads;
+  if (n_threads <= 1 || n_rays < 4096) {
+    worker(0, n_rays);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n_rays + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n_rays, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(worker, lo, hi);
+  }
+  for (auto& t : ts) t.join();
 }
 
 // -------------------------------------------------------------------------
@@ -132,7 +150,9 @@ struct Prefetcher {
   // dataset pointers (owned by Python; must outlive the prefetcher)
   const uint8_t* col = nullptr;
   Dims col_d{};
-  const float* evs = nullptr;
+  const float* evs = nullptr;          // eager float32 event frames, or ...
+  const int16_t* evs_i16 = nullptr;    // ... memmapped int16 raw counts
+  const int64_t* evs_sel = nullptr;    // logical->physical frame map (i16)
   Dims evs_d{};
   float evs_scale = 1.0f;
   int64_t evs_img_limit = 0;
@@ -159,9 +179,15 @@ struct Prefetcher {
     if (n_col > 0)
       sample_and_gather_u8(col, col_d, sd, n_col, 0, b.col_idx.data(),
                            b.col_val.data(), 2);
-    if (n_evs > 0)
-      sample_and_gather_f32(evs, evs_d, splitmix64(sd), n_evs, evs_img_limit,
-                            evs_scale, b.evs_idx.data(), b.evs_val.data(), 2);
+    if (n_evs > 0) {
+      if (evs_i16)
+        sample_and_gather_i16(evs_i16, evs_sel, evs_d, splitmix64(sd), n_evs,
+                              evs_img_limit, evs_scale, b.evs_idx.data(),
+                              b.evs_val.data(), 2);
+      else
+        sample_and_gather_f32(evs, evs_d, splitmix64(sd), n_evs, evs_img_limit,
+                              evs_scale, b.evs_idx.data(), b.evs_val.data(), 2);
+    }
     b.for_step = s;
   }
 
@@ -208,8 +234,8 @@ void lse_sample_events_i16(const int16_t* frames, int64_t n_imgs, int64_t h,
                            int64_t w, int64_t c, uint64_t seed, int64_t n_rays,
                            int64_t img_limit, float e_thresh, int32_t* out_idx,
                            float* out_val, int n_threads) {
-  sample_and_gather_i16(frames, {n_imgs, h, w, c}, seed, n_rays, img_limit,
-                        e_thresh, out_idx, out_val, n_threads);
+  sample_and_gather_i16(frames, nullptr, {n_imgs, h, w, c}, seed, n_rays,
+                        img_limit, e_thresh, out_idx, out_val, n_threads);
 }
 
 void* lse_prefetcher_create(const uint8_t* col, int64_t cn, int64_t ch,
@@ -222,6 +248,36 @@ void* lse_prefetcher_create(const uint8_t* col, int64_t cn, int64_t ch,
   p->col = col;
   p->col_d = {cn, ch, cw, cc};
   p->evs = evs;
+  p->evs_d = {en, eh, ew, ec};
+  p->evs_scale = evs_scale;
+  p->evs_img_limit = evs_img_limit;
+  p->n_col = n_col;
+  p->n_evs = n_evs;
+  p->seed = seed;
+  for (auto& b : p->bufs) {
+    b.col_idx.resize(static_cast<size_t>(n_col) * 3);
+    b.col_val.resize(static_cast<size_t>(n_col) * cc);
+    b.evs_idx.resize(static_cast<size_t>(n_evs) * 3);
+    b.evs_val.resize(static_cast<size_t>(n_evs) * ec);
+  }
+  p->worker = std::thread([p] { p->run(); });
+  return p;
+}
+
+// Memmap-preserving variant: event frames as int16 raw counts (possibly an
+// OS-mapped .npy) + a logical->physical frame-index table. en is the number
+// of LOGICAL frames (== length of sel).
+void* lse_prefetcher_create_i16(const uint8_t* col, int64_t cn, int64_t ch,
+                                int64_t cw, int64_t cc, int64_t n_col,
+                                const int16_t* evs, const int64_t* sel,
+                                int64_t en, int64_t eh, int64_t ew, int64_t ec,
+                                int64_t n_evs, int64_t evs_img_limit,
+                                float evs_scale, uint64_t seed) {
+  auto* p = new Prefetcher();
+  p->col = col;
+  p->col_d = {cn, ch, cw, cc};
+  p->evs_i16 = evs;
+  p->evs_sel = sel;
   p->evs_d = {en, eh, ew, ec};
   p->evs_scale = evs_scale;
   p->evs_img_limit = evs_img_limit;

@@ -1,0 +1,83 @@
+"""A/B throughput harness: steady-state rays/s for named config variants.
+
+Same protocol as bench.py (warm to occupancy steady state, time scan-16
+chunks) so deltas here are directly comparable to the published bench
+number. Variants are applied as env overrides read by __graft_entry__._flagship.
+
+Usage: python scripts/ab_bench.py [variant ...]   (default: all)
+"""
+
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from lsenerf_tpu.utils.tpu_retry import warmup, with_tpu_retry  # noqa: E402
+
+warmup()
+
+SCAN_K = 16
+
+VARIANTS = {
+    "baseline": {},
+    "dense_fwd_3375": {"LSENERF_DENSE_FWD": "4096"},   # levels 0-2 via MXU
+    "dense_fwd_9261": {"LSENERF_DENSE_FWD": "16383"},  # levels 0-3 via MXU
+}
+
+
+def measure(env: dict, warm_chunks: int = 16, n_chunks: int = 6) -> float:
+    saved = {}
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        from __graft_entry__ import _flagship
+
+        trainer, state = _flagship(tiny=False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    train_steps = trainer.make_train_step_multi(SCAN_K)
+    occ_update = trainer._occ_update
+    dm = trainer.dm
+    rays = dm.config.train_num_rays_per_batch
+
+    def chunk(state, step):
+        batches = {
+            k: jnp.asarray(v)
+            for k, v in dm.next_train_stack(step, SCAN_K).items()
+        }
+        state = occ_update(state)
+        return train_steps(state, batches)
+
+    state, m = with_tpu_retry(chunk, state, 0)
+    jax.block_until_ready(m["loss"])
+    for i in range(warm_chunks):
+        state, m = chunk(state, (i + 1) * SCAN_K)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        state, m = chunk(state, (warm_chunks + i + 1) * SCAN_K)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return n_chunks * SCAN_K * rays / dt
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        try:
+            rps = measure(VARIANTS[name])
+            print(f"{name:>18}: {rps:10.1f} rays/s "
+                  f"({1000.0 * 3512 / rps:6.2f} ms/step)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:>18}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)

@@ -226,6 +226,105 @@ def test_dense_prefix_no_overflow_drop(cfg):
     assert scale > 0
 
 
+def test_all_dense_keyed_levels_take_exact_path():
+    """ADVICE r2: a dense-keyed level with rows in (dense_grad_rows, 2^bits)
+    must STILL take the exact one-hot gradient path — dense keys are
+    spatially correlated, so occupancy-clustered samples can exceed any
+    sorted-window cap there."""
+    from dataclasses import replace
+
+    cfg2 = he.HashEncodingConfig(
+        num_levels=4, log2_hashmap_size=10, base_res=4, max_res=64,
+        layout="blocked", blocked_rows_log2=12, dense_grad_rows=64,
+    )
+    rows = cfg2.blocked_level_rows()
+    # the setup reproduces the flagged shape: level 2 is dense-keyed (2197
+    # rows) yet far above dense_grad_rows
+    assert rows[2] == 2197 and rows[2] > cfg2.dense_grad_rows
+    assert he._dense_level_count(cfg2) == 3  # levels 0..2 dense-keyed
+
+    tab = he.init_hash_table(jax.random.PRNGKey(20), cfg2) * 10.0
+    # all samples inside ONE interpolation cube: every level gets n updates
+    # on a single row — the exact worst case for a capped window
+    n = 2048
+    base = jnp.asarray([[0.581, 0.322, 0.147]])
+    pos = jnp.clip(
+        base + 1e-4 * jax.random.normal(jax.random.PRNGKey(21), (n, 3)), 0, 1
+    )
+
+    def loss(c):
+        return lambda t: (he.hash_encode(t, pos, c) ** 2).sum()
+
+    gt = np.asarray(jax.grad(loss(cfg2))(tab))
+    gt_ref = np.asarray(
+        jax.grad(loss(replace(cfg2, blocked_backward="autodiff")))(tab)
+    )
+    # dense-keyed levels (the table's leading rows) must be EXACT; the
+    # hashed level 3 legitimately overflows under this adversarial
+    # concentration (2048 updates on one key) — which the telemetry reports
+    dense_total = int(cfg2.blocked_level_rows()[:3].sum())
+    scale = np.abs(gt_ref[:dense_total]).max()
+    assert scale > 0
+    np.testing.assert_allclose(
+        gt[:dense_total], gt_ref[:dense_total], atol=1e-4 * scale, rtol=1e-4
+    )
+    assert int(he.blocked_overflow_count(pos, cfg2)) > 0
+
+
+def test_dense_fwd_matmul_matches_gather(cfg):
+    """dense_fwd_rows routes small-table levels through a one-hot MXU matmul;
+    values and gradients must equal the plain-gather path."""
+    from dataclasses import replace
+
+    cfg_fwd = replace(cfg, dense_fwd_rows=256)
+    tab = he.init_hash_table(jax.random.PRNGKey(40), cfg) * 100.0
+    pos = jax.random.uniform(jax.random.PRNGKey(41), (128, 3))
+    out_a = np.asarray(he.hash_encode(tab, pos, cfg))
+    out_b = np.asarray(he.hash_encode(tab, pos, cfg_fwd))
+    np.testing.assert_allclose(out_b, out_a, rtol=1e-5, atol=1e-5)
+
+    def loss(c):
+        return lambda t, p: (he.hash_encode(t, p, c) ** 2).sum()
+
+    gt_a, gp_a = jax.grad(loss(cfg), argnums=(0, 1))(tab, pos)
+    gt_b, gp_b = jax.grad(loss(cfg_fwd), argnums=(0, 1))(tab, pos)
+    np.testing.assert_allclose(np.asarray(gt_b), np.asarray(gt_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_b), np.asarray(gp_a),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_overflow_count_exact():
+    from lsenerf_tpu.ops.fast_gather import window_overflow_count
+
+    # 3 windows of 4 slots; max_updates 5: window 0 gets 8 updates on slot 1
+    # (drops 3), window 2 gets 2 (fits)
+    idx = jnp.asarray([1] * 8 + [9, 10], jnp.int32)
+    got = int(window_overflow_count(idx, table_len=12, window=4, max_updates=5))
+    assert got == 3
+    # everything fits -> 0
+    assert int(window_overflow_count(idx, 12, 4, 8)) == 0
+
+
+def test_blocked_overflow_telemetry():
+    """Uniform positions never overflow the 3x-mean cap; adversarially
+    concentrated samples are DETECTED by the counter (the silent-drop class
+    from VERDICT r2 weak #4 is now observable). Needs a hashed level with
+    enough rows for multiple accumulate windows (4096 rows, window 512)."""
+    cfg2 = he.HashEncodingConfig(
+        num_levels=4, log2_hashmap_size=10, base_res=4, max_res=64,
+        layout="blocked", blocked_rows_log2=12, dense_grad_rows=64,
+    )
+    assert he._dense_level_count(cfg2) == 3  # level 3 hashed at 4096 rows
+    pos_u = jax.random.uniform(jax.random.PRNGKey(30), (4096, 3))
+    assert int(he.blocked_overflow_count(pos_u, cfg2)) == 0
+    base = jnp.asarray([[0.917, 0.401, 0.222]])
+    pos_c = jnp.clip(
+        base + 1e-5 * jax.random.normal(jax.random.PRNGKey(31), (4096, 3)), 0, 1
+    )
+    assert int(he.blocked_overflow_count(pos_c, cfg2)) > 0
+
+
 def test_factored_backward_bf16_close(cfg):
     """bf16 factor payloads quantize the update weights; the accumulated
     table grad must stay within bf16-level tolerance of the f32 oracle."""

@@ -119,6 +119,83 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_exact_resume_equivalence(tmp_path):
+    """train N then M from a full checkpoint == train N+M straight
+    (reference --load-checkpoint restores optimizers, lse_trainer.py:108-120)."""
+    import jax.numpy as jnp
+
+    from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+    from lsenerf_tpu.data.synthetic import make_synthetic_scene
+    from lsenerf_tpu.engine.trainer import Trainer, TrainerConfig
+    from tests.test_train_e2e import tiny_model_config
+
+    col, evs = make_synthetic_scene(n_cams=4, h=16, w=16, focal=20.0)
+
+    def make_trainer():
+        dm = MultiCamDataManager(
+            DataManagerConfig(train_num_rays_per_batch=64, rgb_frac=1.0),
+            col, None, seed=3,
+        )
+        return Trainer(TrainerConfig(), tiny_model_config(), dm)
+
+    trainer = make_trainer()
+    state = trainer.setup(jax.random.PRNGKey(0))
+    # fixed batch sequence shared by both runs (the datamanager stream is
+    # host-side state the checkpoint doesn't own)
+    batches = [
+        {k: jnp.asarray(v) for k, v in trainer.dm.next_train(i).items()}
+        for i in range(8)
+    ]
+    copy = lambda s: jax.tree.map(jnp.array, s)  # noqa: E731 — donated bufs
+
+    def run(tr, s, bs, occ_at=()):
+        for i, b in enumerate(bs):
+            if i in occ_at:
+                s = tr._occ_update(s)
+            s, _ = tr._train_step(s, b)
+        return s
+
+    straight = run(trainer, copy(state), batches, occ_at=(0, 4))
+
+    s_half = run(trainer, copy(state), batches[:4], occ_at=(0,))
+    d = str(tmp_path / "ckpts")
+    ckpt_lib.save_checkpoint(
+        d, 3, s_half.params, s_half.occ,
+        opt_state=s_half.opt_state, rng=s_half.rng,
+    )
+
+    trainer2 = make_trainer()
+    state2 = trainer2.setup(jax.random.PRNGKey(99))  # different init on purpose
+    step, params, occ, opt_leaves, rng = ckpt_lib.load_checkpoint_full(d)
+    assert opt_leaves is not None and rng is not None
+    resumed = ckpt_lib.restore_into_state(
+        state2, params, occ, step, opt_leaves=opt_leaves, rng=rng
+    )
+    assert int(resumed.step) == 4
+    resumed = run(trainer2, resumed, batches[4:], occ_at=(0,))
+
+    flat_a = jax.tree.leaves(straight.params)
+    flat_b = jax.tree.leaves(resumed.params)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    # optimizer state (Adam moments + schedule counts) matches too
+    for a, b in zip(
+        jax.tree.leaves(straight.opt_state), jax.tree.leaves(resumed.opt_state)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    # weights-only restore (the --load-dir path) keeps the fresh optimizer
+    trainer3 = make_trainer()
+    state3 = trainer3.setup(jax.random.PRNGKey(5))
+    st3, p3, occ3 = ckpt_lib.load_checkpoint(d)
+    weights_only = ckpt_lib.restore_into_state(state3, p3, occ3, st3)
+    adam_mu = [
+        np.asarray(x) for x in jax.tree.leaves(weights_only.opt_state)
+        if hasattr(x, "shape") and x.ndim > 0
+    ]
+    assert all(np.allclose(m, 0) for m in adam_mu)
+
+
 def test_writer_artifacts(tmp_path):
     from lsenerf_tpu.engine.writer import LSEWriter
 
@@ -157,6 +234,7 @@ def test_cli_end_to_end_synthetic(tmp_path, monkeypatch):
             "--data", "synthetic",
             "--max-num-iterations", "6",
             "--steps-per-save", "5",
+            "--steps-per-eval-batch", "3",
             "--steps-per-eval-all-images", "100000",
             "--pipeline.datamanager.train_num_rays_per_batch", "64",
             "--pipeline.datamanager.rgb_frac", "1.0",

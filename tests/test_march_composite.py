@@ -339,6 +339,28 @@ def test_super_binaries_cross_level():
     assert sup[1, 3 * S // 4 - 1 : 3 * S // 4 + 1, :, :].any()
 
 
+def test_hier_guard_indivisible_supergrid():
+    """grid_resolution=120 / coarse_factor=8 gives S=15: the adjacent-level
+    merge needs S % 4 == 0, so the march must fall back to the flat path
+    instead of crashing at trace time (ADVICE r2), and build_super_binaries
+    must not crash if called directly."""
+    gcfg = occ_lib.OccGridConfig(resolution=120, levels=4)
+    cfg = march.MarchConfig(
+        render_step_size=0.05, max_samples=16, max_candidates=256,
+        hierarchical=True, coarse_factor=8, max_coarse_segments=8,
+    )
+    state = occ_lib.init_occ_grid(gcfg)
+    rng = np.random.default_rng(0)
+    origins = np.array([[-3.0, 0.0, 0.0]] * 4)
+    dirs = np.concatenate(
+        [np.ones((4, 1)), 0.3 * (rng.random((4, 2)) - 0.5)], axis=1
+    )
+    s = march.march_rays(make_bundle(origins, dirs), state, gcfg, cfg)
+    assert np.asarray(s.mask).sum() > 0
+    sup = occ_lib.build_super_binaries(state.binaries, 8, gcfg)
+    assert np.asarray(sup).all()  # fresh grid: fully occupied, un-merged
+
+
 def test_hierarchical_matches_flat_when_sparse():
     """Converged-grid regime (occupied segments fit every budget): the
     two-phase march must produce EXACTLY the flat scan's samples."""

@@ -123,6 +123,33 @@ def test_parse_color_eval_split_swap(tmp_path):
     np.testing.assert_array_equal(ds_val.data_idxs, [4])
 
 
+def test_quality_image_type_dir_selection(tmp_path):
+    """Train reads <quality>_<image_type>_colcam_set when present; eval/val
+    stay on the clear variant (reference lse_parser.py:393-412)."""
+    import shutil
+
+    root, imgs, _ = make_scene_dir(str(tmp_path))
+    blur_dir = osp.join(root, "blur_gamma_colcam_set")
+    shutil.copytree(osp.join(root, "colcam_set"), blur_dir)
+    # make the blur variant distinguishable
+    blur_img = np.zeros_like(imgs[0])
+    Image.fromarray(blur_img).save(osp.join(blur_dir, "rgb", "1x", "000000.png"))
+
+    parser = SceneParser(root, ParserConfig(quality="blur", image_type="gamma"))
+    ds = parser.parse_color("train")
+    np.testing.assert_allclose(ds.images[0], 0.0)  # read from the blur dir
+    ds_val = parser.parse_color("val")  # val forces quality="clear" -> default
+    np.testing.assert_allclose(
+        ds_val.images[0], imgs[4].astype(np.float32) / 255.0, atol=1e-6
+    )
+    # requesting a variant that does not exist falls back to colcam_set
+    parser2 = SceneParser(root, ParserConfig(quality="foggy", image_type="gamma"))
+    ds2 = parser2.parse_color("train")
+    np.testing.assert_allclose(
+        ds2.images[0], imgs[0].astype(np.float32) / 255.0, atol=1e-6
+    )
+
+
 def test_parse_events(tmp_path):
     root, _, eimgs = make_scene_dir(str(tmp_path))
     parser = SceneParser(root)

@@ -112,8 +112,20 @@ def main(argv=None):
 
         state = mesh_lib.replicate(state, mesh)
 
-    # checkpoint restore (reference _load_checkpoint, lse_trainer.py:85-122)
-    if config.load_dir or config.load_checkpoint:
+    # checkpoint restore (reference _load_checkpoint, lse_trainer.py:85-122).
+    # --load-checkpoint restores the OPTIMIZERS + rng too (exact resume,
+    # reference :108-120); --load-dir restores weights only (:105-106).
+    if config.load_checkpoint and not config.is_eval:
+        loaded_step, params, occ, opt_leaves, rng = ckpt_lib.load_checkpoint_full(
+            osp.dirname(str(config.load_checkpoint))
+        )
+        state = ckpt_lib.restore_into_state(
+            state, params, occ, loaded_step, opt_leaves=opt_leaves, rng=rng
+        )
+        print(f"[lsenerf-tpu] restored checkpoint step {loaded_step} "
+              f"(exact resume: optimizer state "
+              f"{'restored' if opt_leaves is not None else 'not in checkpoint'})")
+    elif config.load_dir or config.load_checkpoint:
         load_dir = str(config.load_dir or osp.dirname(config.load_checkpoint))
         step = None if config.load_step < 0 else config.load_step
         loaded_step, params, occ = ckpt_lib.load_checkpoint(
@@ -160,13 +172,11 @@ def main(argv=None):
         jax.profiler.start_trace(profile_dir)
 
     # lax.scan chunking: >1 amortizes the per-dispatch host latency (the dev
-    # chip's tunnel costs ~20 ms/dispatch — scan_steps=16 gives the CLI the
-    # same throughput as bench.py). Multi-device sharding keeps per-step
-    # dispatch (the batch stacking axis would conflict with the ray shard).
+    # chip's tunnel costs ~20 ms/dispatch — the default scan_steps=16 gives
+    # the CLI the same throughput as bench.py). Under a mesh, stacked
+    # batches are sharded along the RAY axis (axis 1) so dispatch
+    # amortization and data parallelism compose (mesh.shard_batch_stacked).
     scan_k = max(1, int(config.machine.scan_steps))
-    if mesh is not None and scan_k > 1:
-        print("[lsenerf-tpu] scan_steps forced to 1 under a multi-device mesh")
-        scan_k = 1
     train_steps_multi = (
         trainer.make_train_step_multi(scan_k) if scan_k > 1 else None
     )
@@ -197,15 +207,28 @@ def main(argv=None):
             print(f"[lsenerf-tpu] eval render pre-compile failed "
                   f"({type(e).__name__}) — evals may be skipped")
 
-    def covered(first, every):
-        """Does [first, first+scan_k-1] contain a multiple of `every`?"""
+    def covered(first, every, k=None):
+        """Does [first, first+k-1] contain a multiple of `every`?"""
         if first <= 0:
             return True
-        return (first + scan_k - 1) // every > (first - 1) // every
+        k = scan_k if k is None else k
+        return (first + k - 1) // every > (first - 1) // every
+
+    # eval-ray-batch loss cadence (reference steps_per_eval_batch=500,
+    # lse_config.py:16): one jitted fn reused across all cadence hits
+    eval_batch_fn = None
+    if eval_ds is not None and not config.is_render:
+        import numpy as _np
+
+        eval_batch_fn = trainer.make_eval_batch_fn(eval_ds.cameras)
+        eval_batch_rng = _np.random.default_rng(config.machine.seed + 17)
 
     first_dispatch = True
     for it in range(start, end, scan_k):
-        if not config.is_render and covered(it, model_cfg.grid.update_interval):
+        # trim the final chunk so the loop never trains past `end`
+        # (the remainder runs as single steps — one extra compile at most)
+        k_eff = min(scan_k, end - it)
+        if not config.is_render and covered(it, model_cfg.grid.update_interval, k_eff):
             if first_dispatch:
                 # first device compile of the process: the remote TPU
                 # compile helper intermittently SIGILLs there (see
@@ -213,40 +236,73 @@ def main(argv=None):
                 state = with_tpu_retry(trainer._occ_update, state)
             else:
                 state = trainer._occ_update(state)
-        if scan_k > 1:
-            batches = {
-                k: jnp.asarray(v)
-                for k, v in dm.next_train_stack(it, scan_k).items()
-            }
-            step_fn, batch = train_steps_multi, batches
-        else:
-            raw = dm.next_train(it)
+        if scan_k > 1 and k_eff == scan_k:
+            raw_stack = dm.next_train_stack(it, scan_k)
             if mesh is not None:
                 from lsenerf_tpu.parallel import mesh as mesh_lib
 
-                batch = mesh_lib.shard_batch(raw, mesh)
+                batches = mesh_lib.shard_batch_stacked(raw_stack, mesh)
             else:
-                batch = {k: jnp.asarray(v) for k, v in raw.items()}
-            step_fn = trainer._train_step
-        if first_dispatch:
-            # the remote TPU compile helper intermittently crashes on the
-            # first compile of a fresh process (see utils/tpu_retry.py)
-            state, metrics = with_tpu_retry(step_fn, state, batch)
-            first_dispatch = False
+                batches = {k: jnp.asarray(v) for k, v in raw_stack.items()}
+            step_fn, batch_list = train_steps_multi, [batches]
         else:
-            state, metrics = step_fn(state, batch)
+            batch_list = []
+            for j in range(k_eff):
+                raw = dm.next_train(it + j)
+                if mesh is not None:
+                    from lsenerf_tpu.parallel import mesh as mesh_lib
+
+                    batch_list.append(mesh_lib.shard_batch(raw, mesh))
+                else:
+                    batch_list.append(
+                        {k: jnp.asarray(v) for k, v in raw.items()}
+                    )
+            step_fn = trainer._train_step
+        for batch in batch_list:
+            if first_dispatch:
+                # the remote TPU compile helper intermittently crashes on the
+                # first compile of a fresh process (see utils/tpu_retry.py)
+                state, metrics = with_tpu_retry(step_fn, state, batch)
+                first_dispatch = False
+            else:
+                state, metrics = step_fn(state, batch)
         # (make_train_step_multi already reduces metrics to the chunk's
         # last step)
+        last = it + k_eff - 1  # true last completed step of this chunk
         if profile_dir and it - start >= 30:
             jax.profiler.stop_trace()
             profile_dir = None
 
-        if covered(it, 100):
+        if covered(it, 100, k_eff):
             scal = {k: float(v) for k, v in metrics.items()}
-            logger.log(it, scal)
-            if covered(it, 1000):
-                print(f"step {it}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
-        if covered(it + 1, config.steps_per_eval_image) and eval_ds is not None:
+            logger.log(last, scal)
+            if covered(it, 1000, k_eff):
+                print(f"step {last}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
+        if (
+            eval_batch_fn is not None
+            and covered(it + 1, config.steps_per_eval_batch, k_eff)
+        ):
+            import numpy as _np
+
+            nb = config.pipeline.datamanager.eval_num_rays_per_batch
+            cams = eval_ds.cameras
+            vi = eval_batch_rng.integers(0, len(eval_ds), nb)
+            ys = eval_batch_rng.integers(0, cams.height, nb)
+            xs = eval_batch_rng.integers(0, cams.width, nb)
+            try:
+                em = with_tpu_retry(
+                    eval_batch_fn,
+                    state.params, state.occ,
+                    jnp.asarray(vi, jnp.int32),
+                    jnp.asarray(_np.stack([ys, xs], 1), jnp.float32),
+                    jnp.asarray(eval_ds.images[vi, ys, xs]),
+                    jnp.asarray(eval_ds.appearance_ids[vi], jnp.int32),
+                    attempts=2,
+                )
+                logger.log(last, {k: float(v) for k, v in em.items()})
+            except Exception as e:  # noqa: BLE001 — keep training alive
+                print(f"[eval-batch @ {last}] SKIPPED ({type(e).__name__})")
+        if covered(it + 1, config.steps_per_eval_image, k_eff) and eval_ds is not None:
             # single-view eval (reference steps_per_eval_image cadence via
             # LSERandIndicesEvalDataloader, lse_datamanager.py:474-479)
             import numpy as _np
@@ -270,16 +326,17 @@ def main(argv=None):
                 psnr_v = float(_metrics.psnr(
                     jnp.asarray(eval_ds.images[vi]), jnp.asarray(out["rgb"])
                 ))
-                logger.log(it, {"eval_psnr": psnr_v})
-                print(f"[eval-image @ {it}] view {vi} psnr {psnr_v:.2f}")
+                logger.log(last, {"eval_psnr": psnr_v})
+                print(f"[eval-image @ {last}] view {vi} psnr {psnr_v:.2f}")
             except Exception as e:  # noqa: BLE001 — keep training alive
-                print(f"[eval-image @ {it}] SKIPPED ({type(e).__name__}: "
+                print(f"[eval-image @ {last}] SKIPPED ({type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]})")
-        if covered(it + 1, config.steps_per_save):
+        if covered(it + 1, config.steps_per_save, k_eff):
             ckpt_lib.save_checkpoint(
-                ckpt_dir, it, state.params, state.occ
+                ckpt_dir, last, state.params, state.occ,
+                opt_state=state.opt_state, rng=state.rng,
             )
-        if covered(it + 1, config.steps_per_eval_all_images) and eval_ds is not None:
+        if covered(it + 1, config.steps_per_eval_all_images, k_eff) and eval_ds is not None:
             try:
                 means = with_tpu_retry(
                     evaluation.average_eval_metrics,
@@ -289,13 +346,16 @@ def main(argv=None):
                     evs_only=(config.pipeline.datamanager.rgb_frac == 0),
                     attempts=3,
                 )
-                print(f"[eval @ {it}] "
+                print(f"[eval @ {last}] "
                       + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
             except Exception as e:  # noqa: BLE001 — keep training alive
-                print(f"[eval @ {it}] SKIPPED ({type(e).__name__}: "
+                print(f"[eval @ {last}] SKIPPED ({type(e).__name__}: "
                       f"{str(e).splitlines()[0][:120]})")
 
-    ckpt_lib.save_checkpoint(ckpt_dir, end - 1, state.params, state.occ)
+    ckpt_lib.save_checkpoint(
+        ckpt_dir, end - 1, state.params, state.occ,
+        opt_state=state.opt_state, rng=state.rng,
+    )
     logger.close()
     print("[lsenerf-tpu] done")
 
