@@ -149,6 +149,9 @@ def write_reference_scene(
     focal: float = 60.0,
     e_thresh: float = 0.2,
     n_val: int = 2,
+    with_prevnext: bool = False,
+    with_msk: bool = False,
+    with_full_camera: bool = False,
 ):
     """Write the synthetic sphere scene in the reference on-disk layout.
 
@@ -157,6 +160,10 @@ def write_reference_scene(
     ecam_set/{camera,eimgs,dataset,scene,metadata}) so the parity harness
     exercises the real parse -> train -> eval path end to end. Deterministic:
     regenerating the scene produces byte-identical files.
+
+    Real-scale golden profile (VERDICT r2 #5): n_cams>=200, h/w=480/640
+    (VGA), with_prevnext (explicit prev_camera/next_camera event pairing),
+    with_msk, with_full_camera (dense trajectory for spline knots).
     """
     import json
     import os
@@ -170,27 +177,49 @@ def write_reference_scene(
     c2ws = np.asarray(col_ds.cameras.camera_to_worlds)
     times = np.asarray(col_ds.cameras.times)
 
-    def write_cam_dir(cam_dir):
+    def cam_json(c2w, t):
+        ori, pos = gl_c2w_to_cv_json(c2w)
+        return {
+            "orientation": ori.tolist(),
+            "position": pos.tolist(),
+            "focal_length": focal,
+            "principal_point": [w / 2.0, h / 2.0],
+            "image_size": [w, h],
+            "radial_distortion": [0.0, 0.0, 0.0],
+            "tangential_distortion": [0.0, 0.0],
+            "t": float(t),
+        }
+
+    def write_cam_dir(cam_dir, mats=None, ts=None):
         os.makedirs(cam_dir, exist_ok=True)
-        for i in range(n_cams):
-            ori, pos = gl_c2w_to_cv_json(c2ws[i])
-            data = {
-                "orientation": ori.tolist(),
-                "position": pos.tolist(),
-                "focal_length": focal,
-                "principal_point": [w / 2.0, h / 2.0],
-                "image_size": [w, h],
-                "radial_distortion": [0.0, 0.0, 0.0],
-                "tangential_distortion": [0.0, 0.0],
-                "t": float(times[i]),
-            }
+        mats = c2ws if mats is None else mats
+        ts = times if ts is None else ts
+        for i in range(len(mats)):
             with open(osp.join(cam_dir, f"{i:06d}.json"), "w") as f:
-                json.dump(data, f, indent=1)
+                json.dump(cam_json(mats[i], ts[i]), f, indent=1)
 
     col = osp.join(root, "colcam_set")
     evs = osp.join(root, "ecam_set")
     write_cam_dir(osp.join(col, "camera"))
     write_cam_dir(osp.join(evs, "camera"))
+    if with_prevnext:
+        # event frame i spans [t_i, t_{i+1}]: prev pose == camera i, next
+        # pose == camera i+1 (reference prev_camera/next_camera dirs,
+        # lse_parser.py:295-309)
+        write_cam_dir(osp.join(evs, "prev_camera"), c2ws[:-1], times[:-1])
+        write_cam_dir(osp.join(evs, "next_camera"), c2ws[1:], times[1:])
+    if with_full_camera:
+        # dense trajectory for full-trajectory spline knots
+        # (lse_parser.py:455-463): 2x interpolated orbit poses
+        dense = orbit_cameras(2 * n_cams, h=h, w=w, focal=focal)
+        write_cam_dir(
+            osp.join(col, "full_camera"),
+            np.asarray(dense.camera_to_worlds),
+            np.asarray(dense.times),
+        )
+    if with_msk:
+        np.save(osp.join(col, "msk.npy"), np.ones((h, w), np.float32))
+        np.save(osp.join(evs, "msk.npy"), np.ones((h, w), np.float32))
 
     os.makedirs(osp.join(col, "rgb", "1x"), exist_ok=True)
     for i in range(n_cams):

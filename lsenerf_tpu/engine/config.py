@@ -140,11 +140,15 @@ class ModelCLI:
     max_res: int = 2048
     grid_resolution: int = 128
     grid_levels: int = 4
+    # occupancy refresh rate: fraction of cells per level per sampled update
+    # (ops/occupancy.OccGridConfig.sample_fraction; 0.25 ~= nerfacc cadence)
+    occ_sample_fraction: float = 0.03125
     max_samples: int = 48
     max_candidates: int = 1024
     hierarchical_march: bool = True
     coarse_factor: int = 8
     max_coarse_segments: int = 24
+    supergrid_matmul: bool = True
     compact_chunk: int = 0
     disable_scene_contraction: bool = False
     background_color: str = "random"
@@ -433,12 +437,14 @@ def build_runtime_configs(config: ExperimentConfig):
             resolution=m.grid_resolution,
             levels=m.grid_levels,
             aabb_scale=scene_scale,
+            sample_fraction=m.occ_sample_fraction,
         ),
         max_samples=m.max_samples,
         max_candidates=m.max_candidates,
         hierarchical_march=m.hierarchical_march,
         coarse_factor=m.coarse_factor,
         max_coarse_segments=m.max_coarse_segments,
+        supergrid_matmul=m.supergrid_matmul,
         compact_chunk=m.compact_chunk,
         background_color=m.background_color,
         evs_loss_weight=m.evs_loss_weight,

@@ -58,6 +58,9 @@ class ModelConfig:
     hierarchical_march: bool = True
     coarse_factor: int = 8
     max_coarse_segments: int = 24
+    # phase-1 supergrid lookups via one-hot MXU matmul (exact, small tables;
+    # measured +4.5% flagship step throughput)
+    supergrid_matmul: bool = True
     # evaluate the field only on chunks containing valid samples: samples are
     # validity-sorted and all-invalid chunks skipped via lax.cond — converts
     # occupancy-grid sparsity into real gather/FLOP savings despite the
@@ -124,6 +127,7 @@ class ModelConfig:
             hierarchical=self.hierarchical_march,
             coarse_factor=self.coarse_factor,
             max_coarse_segments=self.max_coarse_segments,
+            supergrid_matmul=self.supergrid_matmul,
         )
 
 

@@ -91,6 +91,53 @@ def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
     return _grid_lookup(state.binaries, x, y, z, config)
 
 
+def _flat_cell_index(x, y, z, R: int, config: OccGridConfig):
+    """Level-selecting flat cell index into a (levels, R, R, R) grid."""
+    mag = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
+    lvl = jnp.ceil(jnp.log2(jnp.maximum(mag / config.aabb_scale, 1e-12)))
+    lvl = jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
+    half = config.aabb_scale * (2.0 ** lvl.astype(jnp.float32))
+    inv = R / (2.0 * half)
+
+    def cell(c):
+        return jnp.clip(jnp.floor((c + half) * inv), 0, R - 1).astype(jnp.int32)
+
+    return lvl * (R * R * R) + cell(x) * (R * R) + cell(y) * R + cell(z)
+
+
+def _grid_lookup_matmul(binaries: jnp.ndarray, x, y, z, config: OccGridConfig):
+    """Matmul-based level-selecting lookup for SMALL grids (the march
+    supergrid: levels * S^3 <= ~64k cells).
+
+    TPU has no hardware gather — each dynamically-indexed row costs ~6-10 ns
+    of dead latency while the MXU idles. For a small table the lookup rides
+    the MXU instead: pack the grid as an (M/128, 128) 0/1 matrix, resolve
+    the ROW with a fused one-hot matmul, and the COLUMN with a VPU select.
+    Exact (0/1 values in bf16; f32 accumulate)."""
+    R = binaries.shape[-1]
+    M = binaries.size
+    n_rows = -(-M // 128)
+    table = jnp.pad(
+        binaries.reshape(-1).astype(jnp.bfloat16), (0, n_rows * 128 - M)
+    ).reshape(n_rows, 128)
+    flat = _flat_cell_index(x, y, z, R, config)
+    fi = flat.reshape(-1)
+    row = fi // 128
+    col = fi - row * 128
+    lanes = jnp.arange(128, dtype=jnp.int32)
+    onehot_r = (
+        row[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    got = jax.lax.dot_general(
+        onehot_r, table, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, 128)
+    val = jnp.sum(
+        got * (col[:, None] == lanes[None, :]).astype(jnp.float32), axis=-1
+    )
+    return (val > 0.5).reshape(flat.shape)
+
+
 def build_super_binaries(
     binaries: jnp.ndarray, factor: int, config: OccGridConfig
 ) -> jnp.ndarray:

@@ -27,6 +27,8 @@ VARIANTS = {
     "baseline": {},
     "dense_fwd_3375": {"LSENERF_DENSE_FWD": "4096"},   # levels 0-2 via MXU
     "dense_fwd_9261": {"LSENERF_DENSE_FWD": "16383"},  # levels 0-3 via MXU
+    "supergrid_matmul": {"LSENERF_SUPERGRID_MATMUL": "1"},  # march phase 1
+    "supergrid_gather": {"LSENERF_SUPERGRID_MATMUL": "0"},  # pre-r3 baseline
 }
 
 

@@ -1,0 +1,180 @@
+"""Real-scale parity golden: full reference protocol on a VGA-class scene.
+
+VERDICT r2 #5: the ±0.1 dB parity north star needs in-tree evidence at a
+realistic profile. This writes a VGA (640x480), 200-frame synthetic scene in
+the exact reference on-disk layout — WITH prev/next event cameras, masks,
+and a dense full_camera trajectory — then runs the reference HEADLINE
+protocol end to end on the chip:
+
+  1. train: deblur x4 RGB + spline camera opt + co_map/powpow, seed 96
+     (scripts/train_lse_data.sh settings; step count configurable — the
+     paper uses 200,010, the method default is 30,000)
+  2. eval.sh protocol: 6,010-step camera-pose refinement on the frozen
+     NeRF, then full-image eval over the val split
+
+Records metrics + wall time into scripts/golden_parity.json under
+"real_scale". Reproduce with:
+
+    python scripts/golden_real_scale.py --steps 30000 --update-golden
+    python scripts/golden_real_scale.py --steps 30000      # verify
+"""
+
+import argparse
+import glob
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+GOLDEN = osp.join(osp.dirname(osp.abspath(__file__)), "golden_parity.json")
+
+
+def find_latest(pattern, root):
+    hits = sorted(
+        glob.glob(osp.join(root, "**", pattern), recursive=True),
+        key=os.path.getmtime,
+    )
+    return hits[-1] if hits else None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="outputs/golden_real")
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--seed", type=int, default=96)
+    ap.add_argument("--n-cams", type=int, default=200)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--update-golden", action="store_true")
+    ap.add_argument("--no-golden", action="store_true",
+                    help="smoke mode: never record or compare the golden")
+    ap.add_argument("--skip-eval-protocol", action="store_true",
+                    help="skip the 6010-step eval.sh stage")
+    ap.add_argument("--tol-psnr", type=float, default=0.5)
+    ap.add_argument("--tol-ssim", type=float, default=0.02)
+    ap.add_argument("extra", nargs="*", help="extra train.py flags")
+    args = ap.parse_args(argv)
+
+    from lsenerf_tpu.data.synthetic import write_reference_scene
+
+    data = osp.join(args.workdir, "scene")
+    if not osp.exists(osp.join(data, "colcam_set", "dataset.json")):
+        t0 = time.perf_counter()
+        write_reference_scene(
+            data, n_cams=args.n_cams, h=args.height, w=args.width,
+            focal=0.9 * args.width, n_val=4,
+            with_prevnext=True, with_msk=True, with_full_camera=True,
+        )
+        print(f"[golden] wrote {args.n_cams}-frame {args.width}x{args.height} "
+              f"scene in {time.perf_counter() - t0:.0f}s", flush=True)
+
+    import train as train_mod
+
+    run_root = osp.join(args.workdir, "run")
+    t_train0 = time.perf_counter()
+    train_mod.main([
+        "lsenerf",
+        "--data", data,
+        "--output-dir", run_root,
+        "--machine.seed", str(args.seed),
+        "--max-num-iterations", str(args.steps),
+        "--steps-per-save", str(args.steps),
+        "--steps-per-eval-image", str(args.steps // 3),
+        "--steps-per-eval-all-images", str(args.steps),
+        "--steps-per-eval-batch", str(args.steps // 3),
+        "--pipeline.datamanager.rgb_frac", "0.66",
+        # headline protocol (scripts/train_lse_data.sh)
+        "--pipeline.model.rgb-loss-type", "deblur",
+        "--pipeline.model.ev-one-dim", "gt",
+        "--pipeline.model.use-mapping", "True",
+        "--pipeline.model.mapping-method", "identity",
+        "--pipeline.model.evs-mapping-method", "powpow",
+        "--pipeline.model.map-mode", "co_map",
+        "--pipeline.datamanager.col-cam-optimizer.mode", "SO3xR3",
+        "--pipeline.datamanager.col-cam-optimizer.optim-type", "spline",
+        "--pipeline.datamanager.col-cam-optimizer.exp-t", "30000",
+        "--pipeline.datamanager.evs-cam-optimizer.mode", "SO3xR3",
+    ] + list(args.extra))
+    t_train = time.perf_counter() - t_train0
+
+    run_dir = osp.dirname(find_latest("config.yml", run_root))
+    mean_f = find_latest("eval_mean.json", run_dir)
+    assert mean_f, "training produced no eval_mean.json"
+    with open(mean_f) as f:
+        train_eval = json.load(f)
+    print(f"[golden] train ({args.steps} steps, {t_train:.0f}s): "
+          f"{json.dumps(train_eval)}", flush=True)
+
+    eval_eval = None
+    t_eval = None
+    if not args.skip_eval_protocol:
+        # reference scripts/eval.sh: 6010-step cam-opt on the frozen field
+        eval_root = osp.join(args.workdir, "eval_run")
+        t0 = time.perf_counter()
+        train_mod.main([
+            "lsenerf",
+            "--max-num-iterations", "6010",
+            "--steps-per-eval-image", "100000",
+            "--load-dir", osp.join(run_dir, "checkpoints"),
+            "--load-config", osp.join(run_dir, "config.yml"),
+            "--is_eval", "True",
+            "--emb_eval_mode", "zero",
+            "--output-dir", eval_root,
+            "--pipeline.model.eval-num-rays-per-chunk", "4096",
+        ])
+        t_eval = time.perf_counter() - t0
+        ef = find_latest("eval_mean.json", eval_root)
+        if ef:
+            with open(ef) as f:
+                eval_eval = json.load(f)
+            print(f"[golden] eval.sh protocol ({t_eval:.0f}s): "
+                  f"{json.dumps(eval_eval)}", flush=True)
+
+    entry = {
+        "protocol": {
+            "steps": args.steps, "seed": args.seed,
+            "scene": f"{args.n_cams}x{args.width}x{args.height}"
+                     "+prevnext+msk+full_camera",
+            "config": "deblur+spline+co_map+powpow (train_lse_data.sh)",
+        },
+        "train_wall_s": round(t_train, 1),
+        "train_eval": train_eval,
+    }
+    if eval_eval is not None:
+        entry["evalsh_wall_s"] = round(t_eval, 1)
+        entry["evalsh_eval"] = eval_eval
+
+    if args.no_golden:
+        print("[golden] smoke mode: not recording/comparing")
+        return 0
+
+    golden = {}
+    if osp.exists(GOLDEN):
+        with open(GOLDEN) as f:
+            golden = json.load(f)
+    if args.update_golden or "real_scale" not in golden:
+        golden["real_scale"] = entry
+        with open(GOLDEN, "w") as f:
+            json.dump(golden, f, indent=1)
+        print(f"[golden] recorded real_scale golden -> {GOLDEN}")
+        return 0
+
+    want = golden["real_scale"]
+    src = want.get("evalsh_eval") or want["train_eval"]
+    got = eval_eval or train_eval
+    ok = True
+    for k, tol in (("psnr", args.tol_psnr), ("ssim", args.tol_ssim)):
+        if k in src and k in got:
+            d = abs(got[k] - src[k])
+            print(f"[golden] {k}: got {got[k]:.4f} want {src[k]:.4f} "
+                  f"(|d|={d:.4f}, tol {tol})")
+            ok &= d <= tol
+    print("[golden] PASS" if ok else "[golden] FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -413,3 +413,44 @@ def test_hierarchical_full_grid_spans_range():
     span = t1[m.sum() - 1] - t0[0]
     assert covered > 0.6 * span
     assert (np.diff(t0[: m.sum()]) > 0).all()
+
+
+def test_grid_lookup_matmul_matches_gather():
+    """The one-hot MXU lookup (ops/occupancy._grid_lookup_matmul) is exact vs
+    the row-gather lookup on random coordinates across all levels."""
+    rng = np.random.default_rng(7)
+    cfg = occ_lib.OccGridConfig(resolution=16, levels=2, aabb_scale=1.0)
+    binaries = jnp.asarray(rng.random((2, 16, 16, 16)) < 0.4)
+    pts = rng.uniform(-1.9, 1.9, size=(3, 257, 5)).astype(np.float32)
+    x, y, z = (jnp.asarray(p) for p in pts)
+    ref = occ_lib._grid_lookup(binaries, x, y, z, cfg)
+    got = occ_lib._grid_lookup_matmul(binaries, x, y, z, cfg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_march_supergrid_matmul_matches_gather():
+    """supergrid_matmul=True must march identically to the gather phase 1."""
+    state = occ_lib.init_occ_grid(HIER_GRID)
+    occs = np.zeros(np.asarray(state.occs).shape, np.float32)
+    binaries = np.zeros_like(occs, bool)
+    rng = np.random.default_rng(3)
+    binaries[0][rng.random(binaries.shape[1:]) < 0.15] = True
+    state = occ_lib.OccGridState(
+        occs=jnp.asarray(occs), binaries=jnp.asarray(binaries)
+    )
+    origins = np.array([[-3.0, 0.0, 0.0]] * 6)
+    dirs = np.concatenate(
+        [np.ones((6, 1)), 0.4 * (rng.random((6, 2)) - 0.5)], axis=1
+    )
+    bundle = make_bundle(origins, dirs)
+    s_g = march.march_rays(
+        bundle, state, HIER_GRID, hier_cfg(supergrid_matmul=False)
+    )
+    s_m = march.march_rays(
+        bundle, state, HIER_GRID, hier_cfg(supergrid_matmul=True)
+    )
+    np.testing.assert_array_equal(np.asarray(s_m.mask), np.asarray(s_g.mask))
+    m = np.asarray(s_g.mask)
+    np.testing.assert_allclose(
+        np.asarray(s_m.t_starts)[m], np.asarray(s_g.t_starts)[m], atol=1e-6
+    )

@@ -208,6 +208,35 @@ def test_spline_knots_use_full_trajectory(tmp_path):
     assert len(trainer_trainsplit.col_spline_static.ctrl_ts) == 4
 
 
+def test_write_reference_scene_real_scale_options(tmp_path):
+    """write_reference_scene with prev/next cameras, masks, and a dense
+    full_camera trajectory round-trips through the parser (the real-scale
+    golden profile, scripts/golden_real_scale.py)."""
+    from lsenerf_tpu.data.synthetic import write_reference_scene
+
+    root = str(tmp_path / "scene")
+    write_reference_scene(
+        root, n_cams=8, h=12, w=16, focal=20.0, n_val=2,
+        with_prevnext=True, with_msk=True, with_full_camera=True,
+    )
+    parser = SceneParser(root)
+    col = parser.parse_color("train")
+    assert col.msk is not None
+    evs = parser.parse_events()
+    # explicit prev/next pairing was parsed
+    assert evs.prev_cameras is not None and evs.next_cameras is not None
+    assert len(evs.prev_cameras) == len(evs.next_cameras)
+    # next camera i == prev camera i+1 (both are trajectory pose i+1)
+    np.testing.assert_allclose(
+        np.asarray(evs.next_cameras.camera_to_worlds[0]),
+        np.asarray(evs.prev_cameras.camera_to_worlds[1]),
+        atol=2e-4,
+    )
+    # full_camera is denser than the frame trajectory
+    full = parser.all_color_cameras()
+    assert len(full) == 16
+
+
 def test_parse_events_is_memmap_lazy(tmp_path):
     # Event frames must stay on disk through batch gathers (VGA >1000-frame
     # sets are multi-GB); parse_events returns a LazyFrameArray over the
