@@ -61,6 +61,10 @@ class ModelConfig:
     # phase-1 supergrid lookups via one-hot MXU matmul (exact, small tables;
     # measured +4.5% flagship step throughput)
     supergrid_matmul: bool = True
+    # phase-2 fine lookups from bit-packed per-supercell rows (~2 row
+    # gathers per segment instead of coarse_factor per-midpoint gathers;
+    # see ops/march.MarchConfig.packed_phase2)
+    packed_phase2: bool = True
     # evaluate the field only on chunks containing valid samples: samples are
     # validity-sorted and all-invalid chunks skipped via lax.cond — converts
     # occupancy-grid sparsity into real gather/FLOP savings despite the
@@ -128,6 +132,7 @@ class ModelConfig:
             coarse_factor=self.coarse_factor,
             max_coarse_segments=self.max_coarse_segments,
             supergrid_matmul=self.supergrid_matmul,
+            packed_phase2=self.packed_phase2,
         )
 
 

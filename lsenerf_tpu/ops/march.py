@@ -77,6 +77,15 @@ class MarchConfig:
     # 53.6k -> 56.0k rays/s): ~230k latency-bound gather rows move onto the
     # otherwise-idle MXU.
     supergrid_matmul: bool = True
+    # Resolve phase-2 fine lookups from bit-packed per-supercell rows
+    # (occupancy.build_packed_blocks): ~2 row gathers per SEGMENT instead of
+    # `coarse_factor` per-midpoint gathers, plus VPU bit extraction. The two
+    # rows cover the supercells of the segment's first and last midpoint;
+    # the rare midpoint in a third supercell (a multi-axis corner crossing
+    # strictly inside one sub-supercell-length segment) is treated as
+    # occupied — conservative: it can only ADD a candidate in possibly-empty
+    # space (wasting a sample slot), never drop occupied geometry.
+    packed_phase2: bool = True
 
 
 def ray_aabb_intersect(
@@ -124,6 +133,66 @@ def candidate_ts(t_min: jnp.ndarray, config: MarchConfig) -> jnp.ndarray:
     m = config.max_candidates + 1
     i = jnp.arange(m, dtype=jnp.float32)[None, :]  # (1, m)
     return ts_at_indices(t_min, i, config)
+
+
+def packed_segment_lookup(
+    binaries: jnp.ndarray,
+    o_ng: jnp.ndarray,
+    d_ng: jnp.ndarray,
+    mids: jnp.ndarray,
+    occ_config: occ_lib.OccGridConfig,
+) -> jnp.ndarray:
+    """Phase-2 occupancy of segment midpoints via bit-packed supercell rows.
+
+    mids: (n, k1, cf) per-segment fine-candidate midpoints (distances along
+    the ray). Returns (n, k1*cf) bool. Gathers ~2 packed rows per SEGMENT
+    (supercells of the first and last midpoint) instead of cf per-midpoint
+    rows — TPU gathers are latency-bound per row. Contract vs the plain
+    per-midpoint `_grid_lookup`: identical for every midpoint whose
+    supercell matches either gathered row; a midpoint in a THIRD supercell
+    (multi-axis corner crossing inside one sub-supercell segment) reads
+    conservatively occupied — it can only add a candidate in possibly-empty
+    space, never drop occupied geometry (tests/test_march_composite.py
+    asserts the no-drop direction exactly).
+    """
+    n, k1, cf = mids.shape
+    R = binaries.shape[-1]
+    S = R // cf
+    packed = occ_lib.build_packed_blocks(binaries, cf)
+    flat = mids.reshape(n, k1 * cf)
+    lvl, ix, iy, iz = occ_lib._cell_coords(
+        o_ng[:, None, 0] + flat * d_ng[:, None, 0],
+        o_ng[:, None, 1] + flat * d_ng[:, None, 1],
+        o_ng[:, None, 2] + flat * d_ng[:, None, 2],
+        R,
+        occ_config,
+    )
+    sup = ((lvl * S + ix // cf) * S + iy // cf) * S + iz // cf
+    loc = ((ix % cf) * cf + iy % cf) * cf + iz % cf
+    sup3 = sup.reshape(n, k1, cf)
+    loc3 = loc.reshape(n, k1, cf)
+    rows0 = jnp.take(packed, sup3[..., 0], axis=0)  # (n, k1, nw)
+    rows1 = jnp.take(packed, sup3[..., -1], axis=0)
+    nw = cf**3 // 32
+    sel_w = (
+        (loc3 >> 5)[..., None]
+        == jnp.arange(nw, dtype=jnp.int32)[None, None, None, :]
+    )  # (n, k1, cf, nw)
+
+    def pick_bit(rows):
+        word = jnp.sum(
+            jnp.where(sel_w, rows[:, :, None, :], jnp.uint32(0)),
+            axis=-1,
+            dtype=jnp.uint32,
+        )  # (n, k1, cf)
+        return ((word >> (loc3 & 31).astype(jnp.uint32)) & 1) > 0
+
+    occ_m = jnp.where(
+        sup3 == sup3[..., :1],
+        pick_bit(rows0),
+        jnp.where(sup3 == sup3[..., -1:], pick_bit(rows1), True),
+    )
+    return occ_m.reshape(n, k1 * cf)
 
 
 def march_rays(
@@ -252,7 +321,16 @@ def march_rays(
             (mids < t_hi[:, None])
             & jnp.repeat(slot_ok, cf, axis=1)
         )
-        keep = lookup(occ_state.binaries, mids) & in_range  # (n, k1*cf)
+        if config.packed_phase2 and cf**3 % 32 == 0:
+            keep = (
+                packed_segment_lookup(
+                    occ_state.binaries, o_ng, d_ng,
+                    mids.reshape(n, k1, cf), occ_config,
+                )
+                & in_range
+            )
+        else:
+            keep = lookup(occ_state.binaries, mids) & in_range  # (n, k1*cf)
     else:
         ts = candidate_ts(t_lo, config)  # (n, m+1)
         t0s, t1s = ts[:, :-1], ts[:, 1:]

@@ -91,8 +91,10 @@ def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
     return _grid_lookup(state.binaries, x, y, z, config)
 
 
-def _flat_cell_index(x, y, z, R: int, config: OccGridConfig):
-    """Level-selecting flat cell index into a (levels, R, R, R) grid."""
+def _cell_coords(x, y, z, R: int, config: OccGridConfig):
+    """Level-selecting cell coordinates: (lvl, ix, iy, iz), each int32 of the
+    common broadcast shape. Single source of truth for the level-selection +
+    clip rule shared by every lookup variant (gather / matmul / bit-packed)."""
     mag = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
     lvl = jnp.ceil(jnp.log2(jnp.maximum(mag / config.aabb_scale, 1e-12)))
     lvl = jnp.clip(lvl, 0, config.levels - 1).astype(jnp.int32)
@@ -102,7 +104,13 @@ def _flat_cell_index(x, y, z, R: int, config: OccGridConfig):
     def cell(c):
         return jnp.clip(jnp.floor((c + half) * inv), 0, R - 1).astype(jnp.int32)
 
-    return lvl * (R * R * R) + cell(x) * (R * R) + cell(y) * R + cell(z)
+    return lvl, cell(x), cell(y), cell(z)
+
+
+def _flat_cell_index(x, y, z, R: int, config: OccGridConfig):
+    """Level-selecting flat cell index into a (levels, R, R, R) grid."""
+    lvl, ix, iy, iz = _cell_coords(x, y, z, R, config)
+    return lvl * (R * R * R) + ix * (R * R) + iy * R + iz
 
 
 def _grid_lookup_matmul(binaries: jnp.ndarray, x, y, z, config: OccGridConfig):
@@ -177,6 +185,32 @@ def build_super_binaries(
         merged = merged.at[1:, q : 3 * q, q : 3 * q, q : 3 * q].set(inner)
         sb = merged
     return sb
+
+
+def build_packed_blocks(
+    binaries: jnp.ndarray, factor: int
+) -> jnp.ndarray:
+    """Bit-pack fine cells into per-supercell rows for the march's phase 2.
+
+    (levels, R, R, R) bool -> (levels * S^3, factor^3 // 32) uint32 where
+    S = R // factor: row i holds the factor^3 fine-cell occupancies of
+    supercell i, local cell (lx, ly, lz) at bit (lx*factor + ly)*factor + lz
+    of the packed words. One row gather then serves ALL fine tests a march
+    segment makes inside that supercell (TPU gathers are latency-bound PER
+    ROW, so 8 per-midpoint gathers collapse into ~2 row gathers + VPU bit
+    extraction). Cheap to rebuild inline per march call: one 8 MB relayout +
+    pack reduce.
+    """
+    L = binaries.shape[0]
+    R = binaries.shape[-1]
+    S = R // factor
+    b = binaries.reshape(L, S, factor, S, factor, S, factor)
+    b = b.transpose(0, 1, 3, 5, 2, 4, 6).reshape(L * S**3, factor**3)
+    nw = factor**3 // 32
+    w = b.reshape(-1, nw, 32).astype(jnp.uint32) << jnp.arange(
+        32, dtype=jnp.uint32
+    )
+    return w.sum(axis=-1).astype(jnp.uint32)
 
 
 def occupancy_at(state: OccGridState, positions: jnp.ndarray, config: OccGridConfig):

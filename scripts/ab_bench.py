@@ -29,6 +29,8 @@ VARIANTS = {
     "dense_fwd_9261": {"LSENERF_DENSE_FWD": "16383"},  # levels 0-3 via MXU
     "supergrid_matmul": {"LSENERF_SUPERGRID_MATMUL": "1"},  # march phase 1
     "supergrid_gather": {"LSENERF_SUPERGRID_MATMUL": "0"},  # pre-r3 baseline
+    "packed_phase2": {"LSENERF_PACKED_PHASE2": "1"},  # march phase 2 bitpack (now default)
+    "gather_phase2": {"LSENERF_PACKED_PHASE2": "0"},  # pre-bitpack phase 2
 }
 
 

@@ -428,6 +428,75 @@ def test_grid_lookup_matmul_matches_gather():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_packed_segment_lookup_contract():
+    """packed_segment_lookup vs the plain per-midpoint lookup: NEVER drops an
+    occupied midpoint (the conservative direction is exact), and the extra
+    conservative keeps (third-supercell corner crossings) are rare."""
+    rng = np.random.default_rng(0)
+    cfg = occ_lib.OccGridConfig(resolution=64, levels=4)
+    binaries = jnp.asarray(rng.random((4, 64, 64, 64)) < 0.3)
+    n, k1, cf = 128, 12, 8
+    o = jnp.asarray(rng.normal(0, 0.3, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    t0 = rng.uniform(0.05, 3.0, (n, k1, 1))
+    mids = jnp.asarray(
+        (t0 + np.sort(rng.uniform(0, 0.08, (n, k1, cf)), axis=-1)).astype(
+            np.float32
+        )
+    )
+    packed = np.asarray(march.packed_segment_lookup(binaries, o, d, mids, cfg))
+    flat = mids.reshape(n, k1 * cf)
+    plain = np.asarray(
+        occ_lib._grid_lookup(
+            binaries,
+            o[:, None, 0] + flat * d[:, None, 0],
+            o[:, None, 1] + flat * d[:, None, 1],
+            o[:, None, 2] + flat * d[:, None, 2],
+            cfg,
+        )
+    )
+    assert (~packed & plain).sum() == 0  # no drops, ever
+    assert (packed != plain).mean() < 0.02  # conservative extras are rare
+    assert (packed == plain).mean() > 0.95
+
+
+def test_march_packed_phase2_no_drops():
+    """packed_phase2 marching must cover at least the plain phase-2 samples
+    (identical on matched supercells; conservative extras only)."""
+    state = occ_lib.init_occ_grid(HIER_GRID)
+    occs = np.zeros(np.asarray(state.occs).shape, np.float32)
+    binaries = np.zeros_like(occs, bool)
+    rng = np.random.default_rng(5)
+    # sparse enough that both variants stay under the sample budget (the
+    # containment assertion needs stride==1 in both runs)
+    binaries[0][rng.random(binaries.shape[1:]) < 0.05] = True
+    state = occ_lib.OccGridState(
+        occs=jnp.asarray(occs), binaries=jnp.asarray(binaries)
+    )
+    origins = np.array([[-3.0, 0.0, 0.0]] * 8)
+    dirs = np.concatenate(
+        [np.ones((8, 1)), 0.4 * (rng.random((8, 2)) - 0.5)], axis=1
+    )
+    bundle = make_bundle(origins, dirs)
+    s_plain = march.march_rays(
+        bundle, state, HIER_GRID, hier_cfg(packed_phase2=False)
+    )
+    s_pack = march.march_rays(
+        bundle, state, HIER_GRID, hier_cfg(packed_phase2=True)
+    )
+    # under-budget regime: every plain t_start must appear among the packed
+    # t_starts of the same ray (packed may add a few conservative samples)
+    for r in range(8):
+        mp = np.asarray(s_plain.mask[r])
+        tp = np.asarray(s_plain.t_starts[r])[mp]
+        mk = np.asarray(s_pack.mask[r])
+        tk = np.asarray(s_pack.t_starts[r])[mk]
+        for t in tp:
+            assert np.min(np.abs(tk - t)) < 1e-5, (r, t)
+
+
 def test_march_supergrid_matmul_matches_gather():
     """supergrid_matmul=True must march identically to the gather phase 1."""
     state = occ_lib.init_occ_grid(HIER_GRID)
