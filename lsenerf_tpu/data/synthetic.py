@@ -239,10 +239,23 @@ def write_reference_scene(
         json.dump({"train_ids": train_ids, "val_ids": val_ids}, f)
     with open(osp.join(evs, "dataset.json"), "w") as f:
         json.dump({"train_ids": list(range(n_cams - 1))}, f)
-    with open(osp.join(evs, "scene.json"), "w") as f:
-        json.dump({"e_thresh": e_thresh}, f)
-
     os.makedirs(osp.join(evs, "eimgs"), exist_ok=True)
-    counts = np.rint(np.asarray(evs_ds.eimgs)[..., 0]).astype(np.int16)
+    # Quantize delta-log-intensity to integer event counts. At high frame
+    # density (real-scale golden: 200 frames/orbit) the per-frame delta is
+    # far below a fixed contrast threshold and rint() would zero every
+    # event, silently removing event supervision from the scene. Adapt the
+    # written threshold so typical moving-pixel deltas land at ~2 counts,
+    # capped at the requested e_thresh (small scenes keep 0.2 exactly).
+    raw_delta = np.asarray(evs_ds.eimgs)[..., 0] * e_thresh
+    e_eff = e_thresh
+    counts = np.rint(raw_delta / e_eff)
+    if (counts != 0).mean() < 0.01:  # fixed threshold is vacuous here
+        moving = np.abs(raw_delta[np.abs(raw_delta) > 1e-6])
+        if moving.size:
+            e_eff = float(max(np.quantile(moving, 0.9) / 2.0, 1e-6))
+            counts = np.rint(raw_delta / e_eff)
+    counts = counts.astype(np.int16)
+    with open(osp.join(evs, "scene.json"), "w") as f:
+        json.dump({"e_thresh": e_eff}, f)
     np.save(osp.join(evs, "eimgs", "eimgs_1x.npy"), counts)
     return root

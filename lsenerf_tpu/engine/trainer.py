@@ -288,7 +288,15 @@ class Trainer:
                 )
                 bundle = cam_lib.generate_rays(cams, idx, coords, c2w=c2w)
         else:
-            bundle = cam_lib.generate_rays(cams, idx, coords)
+            if deblur:
+                # without a continuous-time spline the 4 exposure rays share
+                # one pose (reference deblur loss renders 4 outputs per pixel
+                # and averages; only the appearance ids differ, utils.py:943-951)
+                idx_r = jnp.repeat(idx, 4)
+                coords_r = jnp.repeat(coords, 4, axis=0)
+            else:
+                idx_r, coords_r = idx, coords
+            bundle = cam_lib.generate_rays(cams, idx_r, coords_r)
             if cfg.mode != "off":
                 bundle = pose_opt.apply_pose_deltas_to_bundle(
                     cam_params["col"], bundle, gate, cfg.mode
