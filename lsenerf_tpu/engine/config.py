@@ -152,10 +152,17 @@ class ModelCLI:
     compact_chunk: int = 0
     disable_scene_contraction: bool = False
     background_color: str = "random"
-    compute_dtype: str = "float32"
-    # hash-table memory layout: "ngp" (reference-exact per-vertex hash) or
-    # "blocked" (TPU-first 3x3x3 block rows, 8x fewer gathers per sample)
-    hash_layout: str = "ngp"
+    # TPU-first defaults, matching the published bench: bf16 compute/gather
+    # (the tcnn-fp16 analog; reference trains tcnn fp16 too) and the blocked
+    # 3x3x3-row hash layout (8x fewer gathers per sample). A default
+    # train.py run was 6.2x slower than the bench before these were the
+    # defaults (386 -> 62 ms/step on the golden scene, round-3 bisect).
+    # Set "float32"/"ngp" for the reference-exact numerics path.
+    compute_dtype: str = "bfloat16"
+    # hash-table memory layout: "blocked" (TPU-first 3x3x3 block rows, 8x
+    # fewer gathers per sample) or "ngp" (reference-exact per-vertex hash)
+    hash_layout: str = "blocked"
+    packed_phase2: bool = True
 
 
 @dataclass
@@ -445,6 +452,7 @@ def build_runtime_configs(config: ExperimentConfig):
         coarse_factor=m.coarse_factor,
         max_coarse_segments=m.max_coarse_segments,
         supergrid_matmul=m.supergrid_matmul,
+        packed_phase2=m.packed_phase2,
         compact_chunk=m.compact_chunk,
         background_color=m.background_color,
         evs_loss_weight=m.evs_loss_weight,
