@@ -92,6 +92,27 @@ def test_build_runtime_configs_modes():
     assert tr.mode == RunMode.PRETRAIN
 
 
+def test_cli_defaults_match_bench_path():
+    """A default train.py run must build the SAME compute path the published
+    bench measures (blocked bf16 hash; packed/matmul march) — the CLI
+    shipping reference-exact ngp/f32 instead was a measured 6.2x slowdown
+    (scripts/probe_golden_bisect.py, round 3)."""
+    cfg = config_lib.parse_cli(["lsenerf"])
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.field.compute_dtype == "bfloat16"
+    assert m.field.hash.gather_dtype == "bfloat16"
+    assert m.field.hash.layout == "blocked"
+    assert m.supergrid_matmul and m.packed_phase2
+    # the reference-exact numerics path stays one flag away
+    cfg = config_lib.parse_cli(
+        ["lsenerf", "--pipeline.model.compute-dtype", "float32",
+         "--pipeline.model.hash-layout", "ngp"]
+    )
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.field.compute_dtype == "float32"
+    assert m.field.hash.layout == "ngp"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 
