@@ -398,7 +398,7 @@ class Trainer:
         has_evs = (
             self.dm.config.train_num_evs_rays_per_batch > 0 and self.dm.evs is not None
         )
-        def loss_fn(params, occ, batch, step):
+        def loss_fn(params, occ, batch, step, rng):
             col_gate = pose_opt.activation_gate(
                 step, tcfg.col_cam_opt.scheme, tcfg.col_cam_opt.delay_cnt
             )
@@ -432,7 +432,9 @@ class Trainer:
                     "e_thresh": batch["e_thresh"],
                 }
             big = model_lib.concat_bundles(bundles) if len(bundles) > 1 else bundles[0]
-            raw = model_lib.render_bundle(params["model"], big, occ, mcfg, train=True)
+            raw = model_lib.render_bundle(
+                params["model"], big, occ, mcfg, train=True, rng=rng
+            )
             overflow = raw.pop("grad_overflow", None)  # scalar, not sliceable
             offs = [0]
             for s in sizes:
@@ -480,15 +482,17 @@ class Trainer:
             return total, metrics
 
         def step_impl(state: TrainState, batch: dict):
+            rng_next, rng_step = jax.random.split(state.rng)
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.occ, batch, state.step
+                state.params, state.occ, batch, state.step, rng_step
             )
             updates, new_opt = self._tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             metrics["loss"] = loss
             return (
                 state.replace(
-                    step=state.step + 1, params=new_params, opt_state=new_opt
+                    step=state.step + 1, params=new_params, opt_state=new_opt,
+                    rng=rng_next,
                 ),
                 metrics,
             )

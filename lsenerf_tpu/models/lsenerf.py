@@ -157,8 +157,19 @@ def render_bundle(
     occ_state: occ_lib.OccGridState,
     config: ModelConfig,
     train: bool = True,
+    rng=None,
 ) -> dict:
-    """Volume-render a ray bundle (reference exec_get_outputs, lsenerf.py:278-326)."""
+    """Volume-render a ray bundle (reference exec_get_outputs, lsenerf.py:278-326).
+
+    When training with an rng key, the configured background (default
+    "random") is blended into the rendered rgb, matching nerfstudio's
+    training-mode RGBRenderer, which the reference uses for EVERY branch
+    (LinearRenderer forces training mode, lse_renderer.py:4-11). This is
+    load-bearing for mapper stability on scenes with empty space: without
+    it, empty rays feed the constant clamp floor (1e-5) into x**pow_coeff
+    whose log-gradient then drives the exponent unstably (the round-3
+    golden-run NaN); with it they feed bounded random intensities, exactly
+    like the reference."""
     samples = march.march_rays(bundle, occ_state, config.grid, config.march_config())
     n, k = samples.mask.shape
 
@@ -186,8 +197,11 @@ def render_bundle(
     weights = composite.render_weights(
         samples, density, config.alpha_thre, config.early_stop_eps
     )
+    background = "linear"
+    if train and rng is not None:
+        background = config.background_color
     out = {
-        "rgb": composite.render_rgb(weights, rgb, background="linear"),
+        "rgb": composite.render_rgb(weights, rgb, background=background, rng=rng),
         "depth": composite.render_depth(weights, samples),
         "accumulation": composite.render_accumulation(weights),
         "num_samples_per_ray": jnp.sum(samples.mask, axis=-1),
@@ -346,9 +360,10 @@ def model_forward(
     config: ModelConfig,
     train: bool = True,
     ev_out: bool = False,
+    rng=None,
 ) -> dict:
     """Volume render + postprocess for a single bundle."""
-    out = render_bundle(params, bundle, occ_state, config, train=train)
+    out = render_bundle(params, bundle, occ_state, config, train=train, rng=rng)
     return postprocess_outputs(params, out, config, train=train, ev_out=ev_out)
 
 
