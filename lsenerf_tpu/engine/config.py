@@ -163,6 +163,8 @@ class ModelCLI:
     # fewer gathers per sample) or "ngp" (reference-exact per-vertex hash)
     hash_layout: str = "blocked"
     packed_phase2: bool = True
+    # windowed-backward overflow counter surfaced as a train metric
+    grad_overflow_telemetry: bool = False
 
 
 @dataclass
@@ -453,6 +455,7 @@ def build_runtime_configs(config: ExperimentConfig):
         max_coarse_segments=m.max_coarse_segments,
         supergrid_matmul=m.supergrid_matmul,
         packed_phase2=m.packed_phase2,
+        grad_overflow_telemetry=m.grad_overflow_telemetry,
         compact_chunk=m.compact_chunk,
         background_color=m.background_color,
         evs_loss_weight=m.evs_loss_weight,
