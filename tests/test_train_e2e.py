@@ -70,6 +70,40 @@ def run_short_training(scene, model_cfg, trainer_cfg, dm_cfg, steps=150):
     return trainer, state, history, metrics
 
 
+def test_training_background_blend(scene):
+    """Training renders must blend the configured background into rays
+    through empty space (reference LinearRenderer forces nerfstudio's
+    training-mode RGBRenderer for every branch, lse_renderer.py:4-11).
+    Pure linear sums fed the 1e-5 clamp floor into x**pow_coeff, whose
+    log-gradient destabilized the exponent on real scenes (round-3
+    golden-run NaN) — assert the blend so the fix cannot revert."""
+    col, _ = scene
+    cfg = tiny_model_config(background_color="random")
+    params = model_lib.init_model(jax.random.PRNGKey(0), cfg, num_imgs=10)
+    occ = occ_lib.init_occ_grid(cfg.grid)
+    # empty the grid so every ray renders zero geometry
+    occ = occ.replace(binaries=jnp.zeros_like(occ.binaries))
+    from lsenerf_tpu.cameras import cameras as cam_lib
+
+    idx = jnp.zeros((16,), jnp.int32)
+    coords = jnp.stack(
+        [jnp.linspace(0, 39, 16), jnp.linspace(0, 39, 16)], axis=1
+    )
+    bundle = cam_lib.generate_rays(col.cameras, idx, coords)
+    meta = dict(bundle.metadata)
+    meta["appearance_id"] = jnp.zeros((16,), jnp.int32)
+    bundle = bundle.replace(metadata=meta)
+
+    blended = model_lib.render_bundle(
+        params, bundle, occ, cfg, train=True, rng=jax.random.PRNGKey(7)
+    )["rgb"]
+    linear = model_lib.render_bundle(params, bundle, occ, cfg, train=True)["rgb"]
+    np.testing.assert_allclose(np.asarray(linear), 0.0, atol=1e-7)
+    assert float(jnp.min(blended)) > 1e-3  # random bg, not the clamp floor
+    # per-ray independent draws, the nerfstudio training contract
+    assert float(jnp.std(blended)) > 0.05
+
+
 def test_rgb_only_training_converges(scene):
     dm_cfg = DataManagerConfig(train_num_rays_per_batch=512, rgb_frac=1.0)
     tr_cfg = TrainerConfig(
