@@ -59,8 +59,20 @@ def orbit_cameras(
     )
 
 
-def render_sphere_image(cam_c2w: np.ndarray, cams: Cameras, sphere_r: float = 0.5):
-    """Analytic render of the normal-colored sphere (white background)."""
+def render_sphere_image(
+    cam_c2w: np.ndarray, cams: Cameras, sphere_r: float = 0.5,
+    texture_freq: float = 0.0,
+):
+    """Analytic render of the normal-colored sphere (white background).
+
+    texture_freq > 0 multiplies the albedo by a smooth high-frequency
+    world-fixed pattern sin(f*phi)*sin(f*theta) on the surface. A smooth
+    sphere under small per-frame camera motion (real-scale golden: 1.35
+    deg/frame) produces delta-log-gray ~1e-3 — event supervision at noise
+    level, which lets the powpow mapper exponent collapse toward 0 and
+    destabilizes x**(c-1) gradients at the 1e-5 clamp floor. The texture
+    restores realistic event magnitudes (|delta log| ~0.1-0.5, like real
+    event-camera recordings at e_thresh 0.2)."""
     h, w = cams.height, cams.width
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     dirs_cam = np.stack(
@@ -87,13 +99,19 @@ def render_sphere_image(cam_c2w: np.ndarray, cams: Cameras, sphere_r: float = 0.
     p = o[None, None] + t_safe[..., None] * d
     normal = p / sphere_r
     color = 0.5 + 0.45 * normal  # normal-coded surface color
+    if texture_freq > 0.0:
+        phi = np.arctan2(p[..., 2], p[..., 0])
+        theta = np.arccos(np.clip(p[..., 1] / sphere_r, -1.0, 1.0))
+        tex = 0.5 + 0.5 * np.sin(texture_freq * phi) * np.sin(texture_freq * theta)
+        color = color * (0.35 + 0.65 * tex)[..., None]
     img = np.ones((h, w, 3), np.float32)
     img[hit] = color[hit].astype(np.float32)
     return img
 
 
 def make_synthetic_scene(
-    n_cams: int = 12, h: int = 48, w: int = 48, focal: float = 60.0, e_thresh: float = 0.2
+    n_cams: int = 12, h: int = 48, w: int = 48, focal: float = 60.0,
+    e_thresh: float = 0.2, texture_freq: float = 0.0,
 ):
     """Returns (ColorDataset, EventFrameDataset).
 
@@ -103,7 +121,10 @@ def make_synthetic_scene(
     """
     cams = orbit_cameras(n_cams, h=h, w=w, focal=focal)
     c2ws = np.asarray(cams.camera_to_worlds)
-    images = np.stack([render_sphere_image(c2ws[i], cams) for i in range(n_cams)])
+    images = np.stack([
+        render_sphere_image(c2ws[i], cams, texture_freq=texture_freq)
+        for i in range(n_cams)
+    ])
 
     gray = images @ REC601
     log_gray = np.log(gray + EPS)
@@ -152,6 +173,7 @@ def write_reference_scene(
     with_prevnext: bool = False,
     with_msk: bool = False,
     with_full_camera: bool = False,
+    texture_freq: float = 0.0,
 ):
     """Write the synthetic sphere scene in the reference on-disk layout.
 
@@ -172,7 +194,8 @@ def write_reference_scene(
     from PIL import Image
 
     col_ds, evs_ds = make_synthetic_scene(
-        n_cams=n_cams, h=h, w=w, focal=focal, e_thresh=e_thresh
+        n_cams=n_cams, h=h, w=w, focal=focal, e_thresh=e_thresh,
+        texture_freq=texture_freq,
     )
     c2ws = np.asarray(col_ds.cameras.camera_to_worlds)
     times = np.asarray(col_ds.cameras.times)

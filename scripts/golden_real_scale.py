@@ -67,6 +67,10 @@ def main(argv=None):
             data, n_cams=args.n_cams, h=args.height, w=args.width,
             focal=0.9 * args.width, n_val=4,
             with_prevnext=True, with_msk=True, with_full_camera=True,
+            # high-frequency albedo so per-frame delta-log-gray is at real
+            # event-data magnitude (~0.1-0.5); a smooth sphere at 1.35
+            # deg/frame gives ~1e-3 and collapses the powpow exponent
+            texture_freq=24.0,
         )
         print(f"[golden] wrote {args.n_cams}-frame {args.width}x{args.height} "
               f"scene in {time.perf_counter() - t0:.0f}s", flush=True)

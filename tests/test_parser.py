@@ -278,3 +278,32 @@ def test_lazy_frame_array_long_recording_drop():
         src[1191, 1, 1] * 0.1,
         rtol=1e-6,
     )
+
+
+def test_real_scale_scene_event_targets_are_realistic(tmp_path):
+    """The textured real-scale scene writes event targets at real
+    event-camera magnitude (|delta log| ~0.1+), not at noise level.
+
+    Regression for the golden-run powpow collapse: a smooth sphere at the
+    200-frame orbit's 1.35 deg/frame produced q90 |delta log| ~ 7e-3, so the
+    adaptive threshold wrote near-zero-information events, the optimal
+    powpow exponent was ~0, and x**(c-1) gradients at the 1e-5 clamp floor
+    destabilized training. The golden profile (scripts/golden_real_scale.py)
+    uses texture_freq=24; angular step is what sets the delta magnitude, so
+    this test keeps the 200-camera orbit but shrinks the image."""
+    from lsenerf_tpu.data.synthetic import write_reference_scene
+
+    root = str(tmp_path / "scene")
+    write_reference_scene(
+        root, n_cams=200, h=60, w=80, focal=0.9 * 80, n_val=4,
+        with_prevnext=True, texture_freq=24.0,
+    )
+    with open(osp.join(root, "ecam_set", "scene.json")) as f:
+        e_eff = json.load(f)["e_thresh"]
+    counts = np.load(osp.join(root, "ecam_set", "eimgs", "eimgs_1x.npy"))
+    # the requested contrast threshold (0.2) held — no vacuous-event fallback
+    assert e_eff == pytest.approx(0.2)
+    tgt = counts.astype(np.float32) * e_eff
+    nz = counts != 0
+    assert nz.mean() > 0.05, "event supervision must cover >5% of pixels"
+    assert np.abs(tgt[nz]).mean() >= 0.2, "per-event magnitude at threshold scale"
