@@ -19,6 +19,7 @@ Examples:
 from __future__ import annotations
 
 import datetime
+import math
 import os
 import os.path as osp
 import sys
@@ -276,6 +277,13 @@ def main(argv=None):
         if covered(it, 100, k_eff):
             scal = {k: float(v) for k, v in metrics.items()}
             logger.log(last, scal)
+            if not math.isfinite(scal.get("loss", 0.0)):
+                # fail fast: keeping going would burn the remaining budget
+                # training garbage (params are already non-finite)
+                raise RuntimeError(
+                    f"non-finite loss at step {last}: {scal} — aborting "
+                    "(inspect with scripts/probe_nan_instrument.py)"
+                )
             if covered(it, 1000, k_eff):
                 print(f"step {last}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
         if (
