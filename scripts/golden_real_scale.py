@@ -56,7 +56,10 @@ def main(argv=None):
     ap.add_argument("--tol-psnr", type=float, default=0.5)
     ap.add_argument("--tol-ssim", type=float, default=0.02)
     ap.add_argument("extra", nargs="*", help="extra train.py flags")
-    args = ap.parse_args(argv)
+    # unknown --flags are extra train.py overrides (argparse would reject
+    # them as positionals, e.g. occ_cadence_ab.sh's occ-sample-fraction)
+    args, unknown = ap.parse_known_args(argv)
+    args.extra = list(args.extra) + unknown
 
     from lsenerf_tpu.data.synthetic import write_reference_scene
 
