@@ -38,6 +38,7 @@ BASE = [
     "--pipeline.datamanager.col-cam-optimizer.optim-type", "spline",
     "--pipeline.datamanager.col-cam-optimizer.exp-t", "30000",
     "--pipeline.datamanager.evs-cam-optimizer.mode", "SO3xR3",
+    "--pipeline.model.grad-overflow-telemetry", "True",
 ]
 
 
@@ -80,14 +81,17 @@ def main():
 
     state, m = with_tpu_retry(chunk, state, 0)
     prev_snap = None
-    for i in range(1, 140):
+    for i in range(1, 260):
         state, m = chunk(state, i * SCAN_K)
         loss = float(m["loss"])
         snap = leaf_stats(state.params)
         pc = snap.get("model/evs_mapper/pow_coeff", (float("nan"),) * 2)[0]
         worst = max(snap.items(), key=lambda kv: kv[1][0])
+        ovf = float(m.get("grad_overflow", float("nan")))
+        evl = float(m.get("event_loss", float("nan")))
         print(
-            f"step {(i + 1) * SCAN_K}: loss={loss:.5g} pow_coeff={pc:.4f} "
+            f"step {(i + 1) * SCAN_K}: loss={loss:.5g} ev={evl:.5g} "
+            f"ovf={ovf:g} pow_coeff={pc:.4f} "
             f"max_leaf={worst[0]}:{worst[1][0]:.4g}",
             flush=True,
         )
@@ -102,7 +106,7 @@ def main():
             break
         prev_snap = snap
     else:
-        print("RESULT: finite through", 140 * SCAN_K)
+        print("RESULT: finite through", 260 * SCAN_K)
 
 
 if __name__ == "__main__":
