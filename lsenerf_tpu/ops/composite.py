@@ -35,8 +35,12 @@ def render_weights(
     weights_i = alpha_i * prod_{j<i} (1 - alpha_j), with culled samples
     contributing neither opacity nor transmittance loss.
     """
-    sigma = densities[..., 0] * samples.mask
-    delta = (samples.t_ends - samples.t_starts) * samples.mask
+    # inf-safe masking: trunc_exp densities can overflow to inf once a
+    # surface hardens (exp forward is unclamped, nerfstudio semantics);
+    # `densities * mask` would turn masked-out inf into 0*inf = NaN
+    mask = samples.mask != 0
+    sigma = jnp.where(mask, densities[..., 0], 0.0)
+    delta = jnp.where(mask, samples.t_ends - samples.t_starts, 0.0)
     sdt = sigma * delta
     alpha = 1.0 - jnp.exp(-sdt)
 
@@ -45,9 +49,17 @@ def render_weights(
         sdt = jnp.where(cull, 0.0, sdt)
         alpha = jnp.where(cull, 0.0, alpha)
 
-    # exclusive cumulative optical depth -> transmittance BEFORE each sample
+    # exclusive cumulative optical depth -> transmittance BEFORE each sample.
+    # Shifted cumsum, NOT cumsum(sdt) - sdt: the subtraction forms inf - inf
+    # = NaN at the overflowed sample itself, while nerfacc's iterative
+    # T *= (1 - alpha) stays finite (alpha saturates at 1, T at 0) — the
+    # shift reproduces that robustness (golden-run NaN at occupancy
+    # convergence, ~step 1500).
     accum = jnp.cumsum(sdt, axis=-1)
-    trans = jnp.exp(-(accum - sdt))
+    excl = jnp.concatenate(
+        [jnp.zeros_like(accum[..., :1]), accum[..., :-1]], axis=-1
+    )
+    trans = jnp.exp(-excl)
 
     if early_stop_eps > 0.0:
         alpha = jnp.where(trans > early_stop_eps, alpha, 0.0)

@@ -177,6 +177,48 @@ def test_weights_masked_samples_ignored():
     assert float(jnp.abs(w[0, 4:]).max()) == 0.0
 
 
+def test_weights_inf_density_stays_finite():
+    """An overflowed density (trunc_exp forward is unclamped exp) must not
+    poison the weights: nerfacc's iterative T *= (1-alpha) saturates
+    (alpha=1, T=0) instead of forming inf-inf. Regression for the
+    golden-run NaN at occupancy convergence (~step 1500). Both placements:
+    inf at a VALID sample (weights after it must be ~0, its own weight =
+    its transmittance) and inf at a MASKED sample (0 * inf hazard)."""
+    k = 8
+    t = jnp.linspace(0.0, 1.0, k + 1)
+
+    def mk(mask):
+        return RaySamples(
+            positions=jnp.zeros((1, k, 3)),
+            directions=jnp.zeros((1, k, 3)),
+            t_starts=t[None, :-1],
+            t_ends=t[None, 1:],
+            mask=mask,
+        )
+
+    dens = jnp.full((1, k, 1), 3.0).at[0, 3, 0].set(jnp.inf)
+    w = composite.render_weights(mk(jnp.ones((1, k), bool)), dens, 0.0, 0.0)
+    assert bool(jnp.isfinite(w).all())
+    np.testing.assert_allclose(np.asarray(w[0, 4:]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(w[0, 3]), np.exp(-3.0 * 3 / k), rtol=1e-5)
+    # the finite prefix matches the all-finite computation exactly
+    w_ref = composite.render_weights(
+        mk(jnp.ones((1, k), bool)), jnp.full((1, k, 1), 3.0), 0.0, 0.0
+    )
+    np.testing.assert_allclose(np.asarray(w[0, :3]), np.asarray(w_ref[0, :3]),
+                               rtol=1e-6)
+
+    mask = jnp.ones((1, k), bool).at[0, 3].set(False)
+    w2 = composite.render_weights(mk(mask), dens, 0.0, 0.0)
+    assert bool(jnp.isfinite(w2).all())
+    assert float(w2[0, 3]) == 0.0
+    # gradients through the masked-inf case stay finite too
+    g = jax.grad(
+        lambda d: composite.render_weights(mk(mask), d, 0.0, 0.0).sum()
+    )(jnp.where(jnp.isinf(dens), 1e4, dens))
+    assert bool(jnp.isfinite(g).all())
+
+
 def test_render_rgb_backgrounds():
     w = jnp.array([[0.5, 0.0]])
     rgbs = jnp.array([[[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]])
