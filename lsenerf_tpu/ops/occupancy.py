@@ -38,6 +38,14 @@ class OccGridConfig:
     # decayed" init keeps unseen cells marching meanwhile. Raise toward
     # 0.25 for nerfacc-parity refresh cadence.
     sample_fraction: float = 0.03125
+    # spread (in updates) of the jittered optimistic init: cells start at
+    # ema_decay**U(0, jitter) instead of all exactly 1.0. With a uniform
+    # init every never-refreshed cell crosses occ_thre on the SAME update
+    # (~#90 = step 1440 at the default cadence) — an abrupt march-
+    # distribution cliff nerfacc never has (its grid churns from step 0 via
+    # warmup sweeps). The jitter spreads the clearing over ~jitter updates
+    # (steps ~480-1440 at defaults) and starts empty-space skipping earlier.
+    init_jitter_updates: float = 60.0
 
 
 @struct.dataclass
@@ -48,15 +56,21 @@ class OccGridState:
 
 def init_occ_grid(config: OccGridConfig) -> OccGridState:
     shape = (config.levels, config.resolution, config.resolution, config.resolution)
-    # Optimistic init: occs start at 1.0 ("assume occupied until proven
+    # Optimistic init: occs start near 1.0 ("assume occupied until proven
     # empty") so cells that sampled updates have not visited yet keep
-    # marching; they EMA-decay below occ_thre after ~90 unvisited updates.
+    # marching; they EMA-decay below occ_thre after <=~90 unvisited updates.
     # nerfacc gets the same safety from full-grid sweeps during its warmup
     # phase (update_every_n_steps warmup_steps=256), which cost ~7s each on
-    # TPU at 128^3 x 4 levels — optimistic decay replaces them.
-    return OccGridState(
-        occs=jnp.ones(shape, jnp.float32), binaries=jnp.ones(shape, bool)
-    )
+    # TPU at 128^3 x 4 levels — optimistic decay replaces them. The init is
+    # jittered (see OccGridConfig.init_jitter_updates) so the clearing of
+    # never-refreshed cells is spread over many updates instead of one.
+    # Deterministic fixed key: the init is part of the architecture, not of
+    # the experiment seed.
+    occs = jnp.ones(shape, jnp.float32)
+    if config.init_jitter_updates > 0:
+        u = jax.random.uniform(jax.random.PRNGKey(961103), shape)
+        occs = config.ema_decay ** (u * config.init_jitter_updates)
+    return OccGridState(occs=occs, binaries=jnp.ones(shape, bool))
 
 
 def level_of_positions(positions: jnp.ndarray, config: OccGridConfig) -> jnp.ndarray:

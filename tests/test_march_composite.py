@@ -565,3 +565,19 @@ def test_march_supergrid_matmul_matches_gather():
     np.testing.assert_allclose(
         np.asarray(s_m.t_starts)[m], np.asarray(s_g.t_starts)[m], atol=1e-6
     )
+
+
+def test_occ_init_jitter_spreads_threshold_crossing():
+    """Jittered optimistic init: never-refreshed cells cross occ_thre over
+    a spread of updates, not all on the same one (the step-1440 march-
+    distribution cliff), while every cell still starts occupied."""
+    cfg = occ_lib.OccGridConfig(resolution=8, levels=1, aabb_scale=1.0)
+    state = occ_lib.init_occ_grid(cfg)
+    occs = np.asarray(state.occs).reshape(-1)
+    assert bool(np.asarray(state.binaries).all())
+    assert occs.min() > cfg.occ_thre  # all above threshold at init
+    # updates-to-cross varies by >= 30 updates across cells
+    cross = np.log(cfg.occ_thre / occs) / np.log(cfg.ema_decay)
+    assert cross.max() - cross.min() >= 30.0
+    # and no cell survives past the un-jittered bound (~90 updates)
+    assert cross.max() <= np.log(cfg.occ_thre) / np.log(cfg.ema_decay) + 1.0
