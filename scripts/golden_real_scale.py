@@ -81,6 +81,14 @@ def main(argv=None):
     import train as train_mod
 
     run_root = osp.join(args.workdir, "run")
+    # crash insurance for the flaky tunneled dev chip: save every 5k steps
+    # and exact-resume (--load-checkpoint restores opt_state + rng) from the
+    # newest checkpoint if a previous attempt died mid-run
+    resume = []
+    latest_ckpt = find_latest("step-*", run_root)
+    if latest_ckpt:
+        print(f"[golden] resuming from {latest_ckpt}", flush=True)
+        resume = ["--load-checkpoint", latest_ckpt]
     t_train0 = time.perf_counter()
     train_mod.main([
         "lsenerf",
@@ -88,7 +96,8 @@ def main(argv=None):
         "--output-dir", run_root,
         "--machine.seed", str(args.seed),
         "--max-num-iterations", str(args.steps),
-        "--steps-per-save", str(args.steps),
+        "--steps-per-save", str(min(5000, args.steps)),
+    ] + resume + [
         "--steps-per-eval-image", str(args.steps // 3),
         "--steps-per-eval-all-images", str(args.steps),
         "--steps-per-eval-batch", str(args.steps // 3),
