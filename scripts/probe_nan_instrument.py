@@ -42,16 +42,36 @@ BASE = [
 ]
 
 
+def _device_leaf_stats(params):
+    """(max|.|, finite fraction) per leaf, computed on device — fetching
+    the raw leaves (the 12.6M-row hash table) through the tunnel costs
+    seconds per chunk; two scalars per leaf cost nothing."""
+    import jax.numpy as jnp
+
+    def stats(leaf):
+        a = jnp.abs(leaf.astype(jnp.float32))
+        return jnp.max(a), jnp.mean(jnp.isfinite(leaf).astype(jnp.float32))
+
+    return jax.tree_util.tree_map(stats, params)
+
+
+_device_leaf_stats_jit = None
+
+
 def leaf_stats(params):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    global _device_leaf_stats_jit
+    if _device_leaf_stats_jit is None:
+        _device_leaf_stats_jit = jax.jit(_device_leaf_stats)
+    flat = jax.tree_util.tree_flatten_with_path(
+        _device_leaf_stats_jit(params)
+    )[0]
     out = {}
     for path, leaf in flat:
         name = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path[:-1]
         )
-        a = np.asarray(leaf)
-        out[name] = (float(np.max(np.abs(a))), float(np.isfinite(a).mean()))
-    return out
+        out.setdefault(name, []).append(float(leaf))
+    return {k: tuple(v) for k, v in out.items()}
 
 
 def main():
