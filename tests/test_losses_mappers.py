@@ -145,3 +145,43 @@ def test_error_map():
     # positive error -> red-dominant
     e = np.asarray(err)
     assert (e[..., 0] >= e[..., 1]).all()
+
+
+def test_ssim_matches_scipy_oracle():
+    """Independent-implementation oracle: textbook Wang et al. SSIM with a
+    gaussian 11x11 / sigma 1.5 window on the valid region, built from
+    scipy.ndimage (the torchmetrics configuration the reference evals with,
+    lsenerf.py:205-207). Guards the conv/layout plumbing of the jnp SSIM."""
+    from scipy.ndimage import correlate
+
+    rng = np.random.default_rng(7)
+    gt = rng.uniform(size=(24, 31, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(scale=0.08, size=gt.shape), 0, 1).astype(
+        np.float32
+    )
+
+    ks, sig, c1, c2 = 11, 1.5, 0.01**2, 0.03**2
+    coords = np.arange(ks) - (ks - 1) / 2.0
+    g = np.exp(-(coords**2) / (2 * sig**2))
+    g /= g.sum()
+    win = np.outer(g, g)
+
+    def filt(img):
+        out = np.stack(
+            [correlate(img[..., c], win, mode="constant") for c in range(3)],
+            axis=-1,
+        )
+        h = ks // 2
+        return out[h:-h, h:-h]
+
+    mu_x, mu_y = filt(gt), filt(pred)
+    sx = filt(gt * gt) - mu_x**2
+    sy = filt(pred * pred) - mu_y**2
+    sxy = filt(gt * pred) - mu_x * mu_y
+    want = np.mean(
+        ((2 * mu_x * mu_y + c1) * (2 * sxy + c2))
+        / ((mu_x**2 + mu_y**2 + c1) * (sx + sy + c2))
+    )
+
+    got = float(metrics.ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
