@@ -27,7 +27,6 @@ class OccGridConfig:
     aabb_scale: float = 1.0  # base level covers [-s, s]^3
     occ_thre: float = 0.01
     ema_decay: float = 0.95
-    warmup_steps: int = 256
     update_interval: int = 16
     # fraction of cells refreshed per level per sampled update. nerfacc
     # refreshes ~res^3/4 per level; on TPU the density sweep's hash gathers
