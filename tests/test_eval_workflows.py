@@ -210,3 +210,26 @@ def test_train_scan_steps(tmp_path, monkeypatch):
     assert ckpts, "no checkpoint written under scan chunking"
     logs = glob.glob(osp.join(run_dir, "metrics.jsonl"))
     assert logs and open(logs[0]).read().count('"loss"') >= 1
+
+
+def test_eval_batch_cadence(tmp_path, monkeypatch):
+    """steps_per_eval_batch (nerfstudio Trainer cadence, reference
+    lse_config.py:16): periodic eval-ray-batch loss lands in metrics.jsonl
+    with eval_loss/eval_batch_psnr keys at the configured interval."""
+    monkeypatch.chdir(tmp_path)
+    run_dir = run_train(
+        tmp_path, iters=30,
+        extra=["--steps-per-eval-batch", "10",
+               "--pipeline.datamanager.eval_num_rays_per_batch", "64"],
+    )
+    lines = [
+        json.loads(l)
+        for l in open(osp.join(run_dir, "metrics.jsonl"))
+    ]
+    hits = [l for l in lines if "eval_batch_psnr" in l]
+    assert len(hits) >= 2, f"no eval-batch cadence entries in {lines[:3]}"
+    for h in hits:
+        assert np.isfinite(h["eval_loss"])
+        assert np.isfinite(h["eval_batch_psnr"])
+        # cadence: logged at a step where (it+1) % 10 wraps within the chunk
+        assert (h["step"] + 1) % 10 <= 16

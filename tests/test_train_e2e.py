@@ -209,3 +209,54 @@ def test_prevnext_camera_training(scene):
     pn = state.params["camera_opt"]["evs"]
     assert float(jnp.abs(pn["prev"]["pose_adjustment"]).max()) > 0
     assert float(jnp.abs(pn["next"]["pose_adjustment"]).max()) > 0
+
+
+def test_denerf_event_loss_shortcut(scene, monkeypatch):
+    """'denerf' in event_loss_type skips the next-bundle render and aliases
+    next_out = prev_out (reference lse_pipeline.py:120-123). Structural
+    check at trace time: the merged render bundle shrinks by exactly the
+    next-bundle rays, and one fewer postprocess happens."""
+    col, evs = scene
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=256, rgb_frac=0.5)
+
+    seen = {}
+
+    real_render = model_lib.render_bundle
+    real_post = model_lib.postprocess_outputs
+
+    def spy_render(params, bundle, occ, cfg, **kw):
+        seen.setdefault("sizes", []).append(bundle.origins.shape[0])
+        return real_render(params, bundle, occ, cfg, **kw)
+
+    def spy_post(*a, **kw):
+        seen["posts"] = seen.get("posts", 0) + 1
+        return real_post(*a, **kw)
+
+    monkeypatch.setattr(model_lib, "render_bundle", spy_render)
+    monkeypatch.setattr(model_lib, "postprocess_outputs", spy_post)
+
+    def trace_step(event_loss_type):
+        seen.clear()
+        dm = MultiCamDataManager(dm_cfg, col, evs)
+        trainer = Trainer(
+            TrainerConfig(),
+            tiny_model_config(ev_one_dim="gt", event_loss_type=event_loss_type),
+            dm,
+        )
+        state = trainer.setup(jax.random.PRNGKey(0))
+        state, metrics = trainer.train(state, num_steps=3)
+        return dict(seen), metrics
+
+    log_seen, log_metrics = trace_step("log_loss")
+    dn_seen, dn_metrics = trace_step("denerf_log")
+
+    n_evs = dm_cfg.train_num_evs_rays_per_batch
+    # next bundle absent from the single shared render
+    assert max(log_seen["sizes"]) - max(dn_seen["sizes"]) == n_evs
+    # col + prev + next vs col + prev postprocess (per traced step fn)
+    assert log_seen["posts"] - dn_seen["posts"] >= 1
+    # still trains: event loss present and finite in both modes
+    assert np.isfinite(float(dn_metrics["event_loss"]))
+    assert np.isfinite(float(log_metrics["event_loss"]))
+    # and the two modes genuinely compute different losses
+    assert float(dn_metrics["event_loss"]) != float(log_metrics["event_loss"])
