@@ -24,8 +24,7 @@ from lsenerf_tpu.models import lsenerf as model_lib
 from lsenerf_tpu.ops import occupancy as occ_lib
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _render_chunk(
+def _render_chunk_impl(
     model_params: dict,
     cams: cam_lib.Cameras,
     occ_state: occ_lib.OccGridState,
@@ -56,10 +55,40 @@ def _render_chunk(
     return out
 
 
+_render_chunk = jax.jit(_render_chunk_impl, static_argnames=("config",))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _render_chunks(
+    model_params: dict,
+    cams: cam_lib.Cameras,
+    occ_state: occ_lib.OccGridState,
+    coords: jnp.ndarray,  # (k, chunk, 2)
+    idx: jnp.ndarray,  # (chunk,)
+    app_id: jnp.ndarray,  # (chunk,)
+    c2w: jnp.ndarray | None,  # (chunk, 3, 4) or None
+    keys: jax.Array,  # (k, ...) split PRNG keys
+    config: model_lib.ModelConfig,
+):
+    """K chunks per device call: one dispatch amortizes the host->device
+    round trip across K chunks (the tunneled dev chip pays ~20 ms per call;
+    a VGA eval image is 75 chunks). Memory stays one-chunk-sized — lax.map
+    runs the chunk body sequentially on device."""
+
+    def body(args):
+        coords_chunk, key = args
+        return _render_chunk_impl(
+            model_params, cams, occ_state, coords_chunk, idx, app_id, c2w,
+            key, config,
+        )
+
+    return jax.lax.map(body, (coords, keys))
+
+
 def render_chunk_cache_size() -> int:
     """Number of compiled chunk-renderer variants (tests assert it stays
     flat across views)."""
-    return _render_chunk._cache_size()
+    return _render_chunk._cache_size() + _render_chunks._cache_size()
 
 
 def render_image(
@@ -72,14 +101,22 @@ def render_image(
     chunk: int = 4096,
     c2w_override=None,
     rng: jax.Array | None = None,
+    chunks_per_call: int = 8,
 ) -> dict:
-    """Render one full camera view -> dict of (h, w, c) images."""
+    """Render one full camera view -> dict of (h, w, c) images.
+
+    Chunks render `chunks_per_call` at a time inside one jitted lax.map
+    (dispatch amortization over the tunnel); the tail runs as single-chunk
+    calls so no padded compute is wasted. Both variants compile once per
+    (camera geometry, config, chunk) and are shared across all views.
+    """
     h, w = cams.height, cams.width
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     coords = np.stack([ys.reshape(-1), xs.reshape(-1)], axis=1).astype(np.float32)
     n = coords.shape[0]
     pad = (-n) % chunk
     coords = np.concatenate([coords, np.zeros((pad, 2), np.float32)])
+    n_chunks = len(coords) // chunk
 
     idx = jnp.full((chunk,), int(cam_idx), jnp.int32)
     app = jnp.full((chunk,), int(appearance_id), jnp.int32)
@@ -89,7 +126,25 @@ def render_image(
 
     outs = []
     key = rng if rng is not None else jax.random.PRNGKey(0)
-    for i in range(0, len(coords), chunk):
+    kcall = max(1, int(chunks_per_call))
+    n_grouped = (n_chunks // kcall) * kcall if kcall > 1 else 0
+    if n_grouped:
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n_grouped)
+        keys = keys.reshape((n_grouped // kcall, kcall) + keys.shape[1:])
+        grouped = jnp.asarray(
+            coords[: n_grouped * chunk].reshape(-1, kcall, chunk, 2)
+        )
+        for g in range(grouped.shape[0]):
+            out = _render_chunks(
+                model_params, cams, occ_state, grouped[g], idx, app, c2w,
+                keys[g], config=config,
+            )
+            # (k, chunk, ...) -> flat (k*chunk, ...)
+            outs.append(
+                {name: v.reshape((-1,) + v.shape[2:]) for name, v in out.items()}
+            )
+    for i in range(n_grouped * chunk, len(coords), chunk):
         key, k = jax.random.split(key)
         outs.append(
             _render_chunk(

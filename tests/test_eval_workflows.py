@@ -93,6 +93,46 @@ def test_render_image_no_per_view_recompile():
     assert renderer.render_chunk_cache_size() == after_c2w
 
 
+def test_render_image_grouped_chunks_parity():
+    """chunks_per_call>1 (lax.map dispatch amortization) renders the exact
+    same image as the single-chunk path, including the ungrouped tail."""
+    import jax
+    import numpy as np
+
+    from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+    from lsenerf_tpu.data.synthetic import make_synthetic_scene
+    from lsenerf_tpu.engine import renderer
+    from lsenerf_tpu.engine.trainer import Trainer, TrainerConfig
+    from tests.test_train_e2e import tiny_model_config
+
+    col, _ = make_synthetic_scene(n_cams=3, h=24, w=32, focal=25.0)
+    dm = MultiCamDataManager(
+        DataManagerConfig(train_num_rays_per_batch=64, rgb_frac=1.0), col, None
+    )
+    # deterministic background: with "random" the per-chunk PRNG keys (and
+    # so the blended background) legitimately differ between groupings
+    trainer = Trainer(
+        TrainerConfig(), tiny_model_config(background_color="white"), dm
+    )
+    state = trainer.setup(jax.random.PRNGKey(0))
+
+    def render(k):
+        # 24*32 = 768 px, chunk 128 -> 6 chunks; k=4 -> 1 group + 2 singles
+        return renderer.render_image(
+            state.params["model"], col.cameras, 1, state.occ,
+            trainer.model_config, appearance_id=1, chunk=128,
+            chunks_per_call=k,
+        )
+
+    single, grouped = render(1), render(4)
+    assert single.keys() == grouped.keys()
+    for name in single:
+        np.testing.assert_allclose(
+            grouped[name], single[name], atol=1e-5,
+            err_msg=f"grouped render diverges on {name}",
+        )
+
+
 def test_eval_workflow(tmp_path, monkeypatch):
     """scripts/eval.sh semantics: reload config, strip cameras, pose-only
     refinement, full-image eval with metrics JSON (incl. LPIPS via exported
