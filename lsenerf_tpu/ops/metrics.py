@@ -45,15 +45,34 @@ def ssim(
     k = kernel[None, None]
 
     def filt(img):
+        # HIGHEST: TPU convs default to bf16 MXU passes; the E[x^2]-mu^2
+        # variance difference then cancels at ~4e-3 absolute error (vs
+        # c2=9e-4) and per-view SSIM blew up to 5.2 on-chip while the same
+        # image pair scored 0.73 on CPU. f32-accurate passes fix the moments.
         return jax.lax.conv_general_dilated(
-            img, k, window_strides=(1, 1), padding="VALID"
+            img, k, window_strides=(1, 1), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_x, mu_y = filt(x), filt(y)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sigma_x = filt(x * x) - mu_x2
-    sigma_y = filt(y * y) - mu_y2
-    sigma_xy = filt(x * y) - mu_xy
+
+    # Second moments on globally mean-shifted images (variance/covariance are
+    # shift-invariant, so this only reduces the magnitudes entering the
+    # cancellation-prone E[x^2]-mu^2 difference). The clamps below enforce
+    # what exact arithmetic guarantees (sigma >= 0, |cov| <= sqrt(var_x
+    # var_y), hence |SSIM| <= 1) as defense in depth against low-precision
+    # conv paths; on well-conditioned inputs they are no-ops within float
+    # noise. Unclamped LinearRenderer eval preds (reference lsenerf.py:511-516
+    # feeds torchmetrics out-of-[0,1] values) make this worse, not better.
+    xc = x - jnp.mean(x)
+    yc = y - jnp.mean(y)
+    mu_xc, mu_yc = filt(xc), filt(yc)
+    sigma_x = jnp.maximum(filt(xc * xc) - mu_xc * mu_xc, 0.0)
+    sigma_y = jnp.maximum(filt(yc * yc) - mu_yc * mu_yc, 0.0)
+    sigma_xy = filt(xc * yc) - mu_xc * mu_yc
+    cap = jnp.sqrt(sigma_x * sigma_y)
+    sigma_xy = jnp.clip(sigma_xy, -cap, cap)
 
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)

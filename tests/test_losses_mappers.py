@@ -137,6 +137,23 @@ def test_psnr_ssim():
     assert 0.1 < s < 0.99
 
 
+def test_ssim_bounded_on_illconditioned_input():
+    """|SSIM| <= 1 holds in exact arithmetic; the naive E[x^2]-mu^2 variance
+    form broke it under float cancellation (1.67 on CPU f32 for this input;
+    5.2 on-chip where convs default to bf16 MXU passes — the golden-run
+    eval_metrics anomaly). The mean-shifted moments + clamps must keep the
+    value both bounded and correct (near-identical images -> ~1)."""
+    rng = np.random.default_rng(0)
+    mag = 100.0
+    gt = np.full((64, 64, 3), mag, np.float32)
+    pred = np.full((64, 64, 3), mag, np.float32)
+    gt += (mag * 3e-6) * rng.normal(size=gt.shape).astype(np.float32)
+    pred += (mag * 3e-6) * rng.normal(size=pred.shape).astype(np.float32)
+    s = float(metrics.ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    assert s <= 1.0 + 1e-5
+    assert s > 0.99
+
+
 def test_error_map():
     gt = jnp.ones((8, 8, 3)) * 0.5
     pred = jnp.ones((8, 8, 3)) * 0.4
