@@ -10,13 +10,14 @@ cd "$(dirname "$0")/.."
 
 for frac in 0.03125 0.25; do
   wd="outputs/occ_ab_${frac}"
-  mkdir -p "$wd"
-  # reuse the golden scene instead of regenerating 134 MB
+  mkdir -p "$wd" outputs/golden_real/scene
+  # reuse the golden scene instead of regenerating 134 MB (the first arm
+  # writes it through the symlink if it isn't already on disk)
   [ -e "$wd/scene" ] || ln -s "$(pwd)/outputs/golden_real/scene" "$wd/scene"
   echo "=== occ cadence arm sample_fraction=$frac ($STEPS steps) ==="
   python -u scripts/golden_real_scale.py \
     --workdir "$wd" --steps "$STEPS" --no-golden --skip-eval-protocol \
-    --pipeline.model.occ-sample-fraction "$frac"
+    --pipeline.model.occ-sample-fraction="$frac"
 done
 echo "=== results ==="
 for frac in 0.03125 0.25; do
