@@ -439,6 +439,7 @@ def build_runtime_configs(config: ExperimentConfig):
                 embedding_type=m.embed_config.embedding_type,
                 emb_dim=m.embed_config.emb_dim,
                 eval_mode=m.embed_config.eval_mode,
+                is_eval=config.is_eval,
             ),
             compute_dtype=m.compute_dtype,
         ),

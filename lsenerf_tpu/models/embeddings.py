@@ -30,6 +30,11 @@ class EmbeddingConfig:
     emb_dim: int = 32
     eval_mode: str = "zero"
     test_init_row: int = 21  # reference lse_embeddings.py:67
+    # eval-run switch: under IS_EVAL the reference routes EVERY forward —
+    # including camera-opt/pretrain TRAINING steps — through the eval-mode
+    # embedding (lse_embeddings.py:36-38), so "param" pretrain actually
+    # trains the test row
+    is_eval: bool = False
 
 
 def init_embedding(key: jax.Array, config: EmbeddingConfig, num_imgs: int) -> dict:
@@ -62,6 +67,8 @@ def apply_embedding(
     Train mode indexes the table (global embedding always row 0,
     lse_embeddings.py:80-82). Eval mode applies config.eval_mode:
     zero / mean-of-rows / learned test row (lse_embeddings.py:24-61).
+    An eval RUN (config.is_eval) forces the eval-mode path even for
+    training-step forwards (lse_embeddings.py:36-38).
     """
     ids = appearance_id.reshape(-1)
     table = params["table"]
@@ -71,7 +78,7 @@ def apply_embedding(
         # global: one shared row regardless of id or eval mode
         return jnp.broadcast_to(table[0], (n, table.shape[1]))
 
-    if train:
+    if train and not config.is_eval:
         return take_rows(table, ids)
 
     if config.eval_mode == "zero":

@@ -29,6 +29,14 @@ import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+# this environment's sitecustomize force-registers the axon TPU backend and
+# overrides the JAX_PLATFORMS env var; only jax.config wins (see
+# tests/conftest.py). LSENERF_PLATFORM=cpu lets smokes run off-chip.
+if os.environ.get("LSENERF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["LSENERF_PLATFORM"])
+
 GOLDEN = osp.join(osp.dirname(osp.abspath(__file__)), "golden_parity.json")
 
 
@@ -53,6 +61,18 @@ def main(argv=None):
                     help="smoke mode: never record or compare the golden")
     ap.add_argument("--skip-eval-protocol", action="store_true",
                     help="skip the 6010-step eval.sh stage")
+    ap.add_argument("--emb", action="store_true",
+                    help="LSENeRF_emb protocol: train with per-frame "
+                    "appearance embeddings, then the TWO-stage emb_eval.sh "
+                    "protocol (3010-step test-embedding pretrain + 6010-step "
+                    "camera-opt eval) instead of the eval.sh stage")
+    ap.add_argument("--golden-key", default=None,
+                    help="golden_parity.json entry name (default: "
+                    "real_scale, or real_scale_emb with --emb)")
+    ap.add_argument("--evalsh-steps", type=int, default=6010,
+                    help="camera-opt eval stage steps (eval.sh/emb_eval.sh)")
+    ap.add_argument("--pretrain-steps", type=int, default=3010,
+                    help="test-embedding pretrain stage steps (emb_eval.sh)")
     ap.add_argument("--tol-psnr", type=float, default=0.5)
     ap.add_argument("--tol-ssim", type=float, default=0.02)
     ap.add_argument("extra", nargs="*", help="extra train.py flags")
@@ -85,9 +105,16 @@ def main(argv=None):
     # and exact-resume (--load-checkpoint restores opt_state + rng) from the
     # newest checkpoint if a previous attempt died mid-run
     resume = []
+    train_steps = args.steps
     latest_ckpt = find_latest("step-*", run_root)
     if latest_ckpt:
-        print(f"[golden] resuming from {latest_ckpt}", flush=True)
+        # trainer resume follows nerfstudio semantics (max_num_iterations
+        # MORE steps from the restored step), so shrink the budget to land
+        # the total at args.steps
+        loaded = int(osp.basename(latest_ckpt).rsplit("-", 1)[1])
+        train_steps = max(1, args.steps - loaded)
+        print(f"[golden] resuming from {latest_ckpt} "
+              f"({train_steps} steps remain)", flush=True)
         resume = ["--load-checkpoint", latest_ckpt]
     t_train0 = time.perf_counter()
     train_mod.main([
@@ -95,7 +122,7 @@ def main(argv=None):
         "--data", data,
         "--output-dir", run_root,
         "--machine.seed", str(args.seed),
-        "--max-num-iterations", str(args.steps),
+        "--max-num-iterations", str(train_steps),
         "--steps-per-save", str(min(5000, args.steps)),
     ] + resume + [
         "--steps-per-eval-image", str(args.steps // 3),
@@ -113,7 +140,12 @@ def main(argv=None):
         "--pipeline.datamanager.col-cam-optimizer.optim-type", "spline",
         "--pipeline.datamanager.col-cam-optimizer.exp-t", "30000",
         "--pipeline.datamanager.evs-cam-optimizer.mode", "SO3xR3",
-    ] + list(args.extra))
+    ] + (
+        # LSENeRF_emb preset (configs/lsenerf_emb.sh): per-frame appearance
+        # embeddings on the event rays
+        ["--pipeline.model.embed-config.embedding-type", "evs_emb"]
+        if args.emb else []
+    ) + list(args.extra))
     t_train = time.perf_counter() - t_train0
 
     run_dir = osp.dirname(find_latest("config.yml", run_root))
@@ -126,13 +158,51 @@ def main(argv=None):
 
     eval_eval = None
     t_eval = None
-    if not args.skip_eval_protocol:
+    if not args.skip_eval_protocol and args.emb:
+        # reference scripts/emb_eval.sh: stage 1 learns a single test
+        # embedding on the frozen field (3010 steps, do_pretrain), stage 2
+        # is the usual 6010-step camera-opt eval using it
+        t0 = time.perf_counter()
+        pre_root = osp.join(args.workdir, "emb_pretrain")
+        train_mod.main([
+            "lsenerf",
+            "--max-num-iterations", str(args.pretrain_steps),
+            "--steps-per-eval-image", "100000",
+            "--load-dir", osp.join(run_dir, "checkpoints"),
+            "--load-config", osp.join(run_dir, "config.yml"),
+            "--is_eval", "True",
+            "--emb_eval_mode", "param",
+            "--do_pretrain", "True",
+            "--output-dir", pre_root,
+            "--pipeline.model.eval-num-rays-per-chunk", "4096",
+        ])
+        pre_dir = osp.dirname(find_latest("config.yml", pre_root))
+        eval_root = osp.join(args.workdir, "emb_eval_run")
+        train_mod.main([
+            "lsenerf",
+            "--max-num-iterations", str(args.evalsh_steps),
+            "--steps-per-eval-image", "100000",
+            "--load-dir", osp.join(pre_dir, "checkpoints"),
+            "--load-config", osp.join(pre_dir, "config.yml"),
+            "--is_eval", "True",
+            "--emb_eval_mode", "param",
+            "--output-dir", eval_root,
+            "--pipeline.model.eval-num-rays-per-chunk", "4096",
+        ])
+        t_eval = time.perf_counter() - t0
+        ef = find_latest("eval_mean.json", eval_root)
+        if ef:
+            with open(ef) as f:
+                eval_eval = json.load(f)
+            print(f"[golden] emb_eval.sh protocol ({t_eval:.0f}s): "
+                  f"{json.dumps(eval_eval)}", flush=True)
+    elif not args.skip_eval_protocol:
         # reference scripts/eval.sh: 6010-step cam-opt on the frozen field
         eval_root = osp.join(args.workdir, "eval_run")
         t0 = time.perf_counter()
         train_mod.main([
             "lsenerf",
-            "--max-num-iterations", "6010",
+            "--max-num-iterations", str(args.evalsh_steps),
             "--steps-per-eval-image", "100000",
             "--load-dir", osp.join(run_dir, "checkpoints"),
             "--load-config", osp.join(run_dir, "config.yml"),
@@ -149,12 +219,18 @@ def main(argv=None):
             print(f"[golden] eval.sh protocol ({t_eval:.0f}s): "
                   f"{json.dumps(eval_eval)}", flush=True)
 
+    key = args.golden_key or ("real_scale_emb" if args.emb else "real_scale")
+    config_name = (
+        "deblur+spline+co_map+powpow+evs_emb (train_lse_data.sh lsenerf_emb)"
+        if args.emb
+        else "deblur+spline+co_map+powpow (train_lse_data.sh)"
+    )
     entry = {
         "protocol": {
             "steps": args.steps, "seed": args.seed,
             "scene": f"{args.n_cams}x{args.width}x{args.height}"
                      "+prevnext+msk+full_camera",
-            "config": "deblur+spline+co_map+powpow (train_lse_data.sh)",
+            "config": config_name,
         },
         "train_wall_s": round(t_train, 1),
         "train_eval": train_eval,
@@ -171,14 +247,14 @@ def main(argv=None):
     if osp.exists(GOLDEN):
         with open(GOLDEN) as f:
             golden = json.load(f)
-    if args.update_golden or "real_scale" not in golden:
-        golden["real_scale"] = entry
+    if args.update_golden or key not in golden:
+        golden[key] = entry
         with open(GOLDEN, "w") as f:
             json.dump(golden, f, indent=1)
-        print(f"[golden] recorded real_scale golden -> {GOLDEN}")
+        print(f"[golden] recorded {key} golden -> {GOLDEN}")
         return 0
 
-    want = golden["real_scale"]
+    want = golden[key]
     src = want.get("evalsh_eval") or want["train_eval"]
     got = eval_eval or train_eval
     ok = True

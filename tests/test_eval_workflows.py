@@ -210,6 +210,89 @@ def test_emb_eval_pretrain_stage(tmp_path, monkeypatch):
     assert "test_table" in app
 
 
+@pytest.mark.slow
+def test_emb_eval_two_stage(tmp_path, monkeypatch):
+    """Full emb_eval.sh protocol (reference scripts/emb_eval.sh:8-36):
+    stage 1 learns a single test embedding on the frozen field; stage 2
+    (camera-opt eval) must RESTORE that learned row — not crash or re-seed
+    from train row 21. Regression: checkpoint restore merges only keys
+    present in the fresh tree, so stage 2 grafts the test_table slot
+    BEFORE restore (train.py graft_test_embedding)."""
+    monkeypatch.chdir(tmp_path)
+    run_dir = run_train(
+        tmp_path,
+        extra=[
+            "--pipeline.model.embed-config.embedding-type", "evs_emb",
+            "--pipeline.model.embed-config.emb_dim", "8",
+            # keep the color head out of sigmoid saturation: the tiny scene
+            # is mostly white, and Adam(lr 1e-2, eps 1e-15) drives the
+            # pre-sigmoid logits to ~100 within 30 steps, where sigmoid'
+            # underflows to exactly 0 and NO appearance gradient can flow
+            # (true of the reference's torch sigmoid head too — real scenes
+            # keep mid-range colors)
+            "--optimizers.fields.optimizer.lr", "1e-3",
+        ],
+    )
+
+    # stage 1: test-embedding pretrain (do_pretrain, param mode)
+    pre_root = str(tmp_path / "pre")
+    train_cli.main(
+        [
+            "lsenerf",
+            "--is_eval", "True",
+            "--do_pretrain", "True",
+            "--emb_eval_mode", "param",
+            "--load-dir", osp.join(run_dir, "checkpoints"),
+            "--load-config", osp.join(run_dir, "config.yml"),
+            "--max-num-iterations", "40",
+            "--steps-per-save", "35",
+            "--output-dir", pre_root,
+        ]
+    )
+    from lsenerf_tpu.engine import checkpoints as ckpt_lib
+
+    pre_run = osp.dirname(
+        sorted(glob.glob(osp.join(pre_root, "**", "config.yml"), recursive=True))[-1]
+    )
+    _, pre_params, _ = ckpt_lib.load_checkpoint(osp.join(pre_run, "checkpoints"))
+    pre_app = pre_params["model"]["field"]["appearance"]
+    seed_row = np.asarray(pre_app["table"][min(21, pre_app["table"].shape[0] - 1)])
+    learned = np.asarray(pre_app["test_table"][0])
+    assert not np.allclose(learned, seed_row), (
+        "stage-1 pretrain did not move the test embedding off its seed"
+    )
+
+    # stage 2: camera-opt eval with the LEARNED test embedding
+    eval_root = str(tmp_path / "ev")
+    train_cli.main(
+        [
+            "lsenerf",
+            "--is_eval", "True",
+            "--emb_eval_mode", "param",
+            "--load-dir", osp.join(pre_run, "checkpoints"),
+            "--load-config", osp.join(pre_run, "config.yml"),
+            "--max-num-iterations", "40",
+            "--steps-per-save", "35",
+            "--output-dir", eval_root,
+        ]
+    )
+    ev_run = osp.dirname(
+        sorted(glob.glob(osp.join(eval_root, "**", "config.yml"), recursive=True))[-1]
+    )
+    _, ev_params, _ = ckpt_lib.load_checkpoint(osp.join(ev_run, "checkpoints"))
+    ev_app = ev_params["model"]["field"]["appearance"]
+    # stage 2 trains camera-opt only: the restored test_table must be the
+    # stage-1 LEARNED row, bit-for-bit — not the row-21 graft seed
+    np.testing.assert_array_equal(np.asarray(ev_app["test_table"][0]), learned)
+    # and the eval fired with finite metrics
+    eval_means = sorted(
+        glob.glob(osp.join(eval_root, "**", "eval_mean.json"), recursive=True)
+    )
+    assert eval_means, "stage 2 produced no eval_mean.json"
+    means = json.load(open(eval_means[-1]))
+    assert np.isfinite(means["psnr"])
+
+
 def test_render_workflow(tmp_path, monkeypatch):
     """render.py: reload a trained run and render PNG frames along the
     camera trajectory (reference IS_RENDER mode, train.py:262-264)."""

@@ -113,6 +113,40 @@ def main(argv=None):
 
         state = mesh_lib.replicate(state, mesh)
 
+    def graft_test_embedding(state):
+        """Add the 1-row test embedding to the param tree (+ rebuild the
+        optimizer for the new structure). Seeds from table row 21
+        (reference lse_embeddings.py:63-68); a later checkpoint restore
+        overwrites the seed when the checkpoint carries test_table."""
+        from lsenerf_tpu.engine.trainer import build_optimizer
+        from lsenerf_tpu.models import embeddings as emb_lib
+
+        field_params = state.params["model"]["field"]
+        if "appearance" not in field_params:
+            return state
+        field_params = dict(field_params)
+        field_params["appearance"] = emb_lib.init_test_params(
+            field_params["appearance"], model_cfg.field.embedding
+        )
+        model_params = dict(state.params["model"], field=field_params)
+        state = state.replace(params=dict(state.params, model=model_params))
+        trainer._tx = build_optimizer(trainer_cfg, state.params)
+        state = state.replace(opt_state=trainer._tx.init(state.params))
+        trainer._train_step = trainer.make_train_step()
+        return state
+
+    if (
+        config.is_eval
+        and not config.do_pretrain
+        and config.pipeline.model.embed_config.eval_mode == "param"
+    ):
+        # emb_eval stage 2: create the test-embedding slot BEFORE restore so
+        # the pretrain stage's LEARNED row grafts in from the checkpoint
+        # (restore merges only keys present in the fresh tree). The pretrain
+        # stage itself (do_pretrain) instead seeds AFTER restore, from the
+        # restored train table's row 21 — see below.
+        state = graft_test_embedding(state)
+
     # checkpoint restore (reference _load_checkpoint, lse_trainer.py:85-122).
     # --load-checkpoint restores the OPTIMIZERS + rng too (exact resume,
     # reference :108-120); --load-dir restores weights only (:105-106).
@@ -136,25 +170,9 @@ def main(argv=None):
         print(f"[lsenerf-tpu] restored checkpoint step {loaded_step}")
 
     if config.do_pretrain:
-        # emb_eval stage 1: seed the test embedding (lse_trainer.py:40-44)
-        from lsenerf_tpu.models import embeddings as emb_lib
-
-        field_params = state.params["model"]["field"]
-        if "appearance" in field_params:
-            field_params = dict(field_params)
-            field_params["appearance"] = emb_lib.init_test_params(
-                field_params["appearance"], model_cfg.field.embedding
-            )
-            model_params = dict(state.params["model"], field=field_params)
-            state = state.replace(
-                params=dict(state.params, model=model_params)
-            )
-            # re-init optimizer for the new param structure
-            from lsenerf_tpu.engine.trainer import build_optimizer
-
-            trainer._tx = build_optimizer(trainer_cfg, state.params)
-            state = state.replace(opt_state=trainer._tx.init(state.params))
-            trainer._train_step = trainer.make_train_step()
+        # emb_eval stage 1: seed the test embedding from the RESTORED train
+        # table's row 21 (lse_trainer.py:40-44, lse_embeddings.py:63-68)
+        state = graft_test_embedding(state)
 
     logger = ScalarLogger(base_dir)
     logger.log(0, {"commit": 0.0})
