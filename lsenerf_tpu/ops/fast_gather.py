@@ -116,6 +116,7 @@ def sorted_window_accumulate_factored(
     window: int = 128,
     max_updates_factor: int = 6,
     batch_windows: int = 8,
+    presorted_segments: int = 1,
 ) -> jnp.ndarray:
     """Windowed accumulate where each update ROW is reconstructed in-window
     from a few scalar factors instead of being materialized and permuted.
@@ -130,6 +131,14 @@ def sorted_window_accumulate_factored(
 
     idx: (m,) int32 table rows. factors: tuple of (m,) arrays (any dtypes
     lax.sort accepts). make_rows: tuple of (u,)-arrays -> (u, row_width).
+
+    presorted_segments: CALLER CONTRACT — idx consists of this many
+    equal-length consecutive chunks whose key ranges are non-overlapping
+    and increasing (the blocked hash layout's level-major keys: level l's
+    keys all lie in [row_offset_l, row_offset_{l+1})). Each chunk is then
+    sorted independently as one batched lax.sort — concatenating the
+    sorted chunks IS the global sort, at ~log(segments)/log(m) less
+    bitonic depth. 1 = plain global sort.
     """
     m = idx.shape[0]
     n_windows = _round_up(table_len, window) // window
@@ -137,9 +146,20 @@ def sorted_window_accumulate_factored(
     max_updates = _round_up(max(window, max_updates_factor * mean_per_window), 256)
     max_updates = min(max_updates, _round_up(m, 256))
 
-    sorted_ops = jax.lax.sort([idx] + list(factors), num_keys=1)
-    si = sorted_ops[0]
-    sf = sorted_ops[1:]
+    seg = presorted_segments
+    if seg > 1 and m % seg == 0:
+        sl = m // seg
+        sorted_ops = jax.lax.sort(
+            [idx.reshape(seg, sl)] + [f.reshape(seg, sl) for f in factors],
+            num_keys=1,
+            dimension=1,
+        )
+        si = sorted_ops[0].reshape(-1)
+        sf = [f.reshape(-1) for f in sorted_ops[1:]]
+    else:
+        sorted_ops = jax.lax.sort([idx] + list(factors), num_keys=1)
+        si = sorted_ops[0]
+        sf = sorted_ops[1:]
 
     sentinel = jnp.int32(n_windows * window)
     si = jnp.concatenate([si, jnp.full((max_updates,), sentinel, si.dtype)])

@@ -81,6 +81,14 @@ class HashEncodingConfig:
     # toolchain risk is real. Revisit if a future toolchain compiles it
     # reliably.
     combine_impl: str = "xla"
+    # Sort the backward's update keys as one batched per-level sort instead
+    # of one global sort (exact — level-major keys are range-partitioned by
+    # the cumulative row offsets, so concatenated per-level sorts ARE the
+    # global sort). In theory ~34% less bitonic depth; MEASURED SLOWER on
+    # v5e (56.4k vs 58.1k rays/s, scripts/ab_bench.py global_sort vs
+    # segmented_sort) — XLA's batched sort does not vectorize the batch dim
+    # the way the depth argument assumes. Kept as an A/B knob; default off.
+    segmented_sort: bool = False
     # Minimum row count at which a level may take the SORTED windowed
     # gradient path. Every DENSE-KEYED level (rows < 2^blocked_rows_log2)
     # always takes an EXACT per-level one-hot matmul regardless of this
@@ -489,6 +497,12 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                     total_rows - dense_total,
                     out_dtype=jnp.float32, window=512, batch_windows=32,
                     max_updates_factor=3,
+                    # keys_h is level-major with increasing per-level row
+                    # offsets: per-level batched sorts concatenated == the
+                    # global sort, at less bitonic depth
+                    presorted_segments=(
+                        L - dense_L if config.segmented_sort else 1
+                    ),
                 )
             )
         dtab = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

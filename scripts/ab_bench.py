@@ -31,6 +31,8 @@ VARIANTS = {
     "supergrid_gather": {"LSENERF_SUPERGRID_MATMUL": "0"},  # pre-r3 baseline
     "packed_phase2": {"LSENERF_PACKED_PHASE2": "1"},  # march phase 2 bitpack (now default)
     "gather_phase2": {"LSENERF_PACKED_PHASE2": "0"},  # pre-bitpack phase 2
+    "segmented_sort": {"LSENERF_SEGMENTED_SORT": "1"},  # batched per-level bwd sort (measured SLOWER, off)
+    "global_sort": {"LSENERF_SEGMENTED_SORT": "0"},  # single 1.85M-key sort (default)
 }
 
 

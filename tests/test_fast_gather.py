@@ -70,3 +70,31 @@ def test_take_rows_grad():
     g_fast = jax.grad(lambda t: jnp.sum(fg.take_rows(t, idx) ** 2))(table)
     g_ref = jax.grad(lambda t: jnp.sum(jnp.take(t, idx, axis=0) ** 2))(table)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-4)
+
+
+def test_factored_accumulate_presorted_segments_equiv():
+    """presorted_segments: per-segment batched sorts concatenated must equal
+    the global sort when segments are range-partitioned (the blocked
+    hash layout's level-major keys) — identical accumulated tables."""
+    rng = np.random.default_rng(11)
+    segments, per_seg, table_len, Wrow = 4, 1024, 4096, 8
+    # segment s draws keys only from [s*1024, (s+1)*1024)
+    idx = np.concatenate([
+        rng.integers(s * 1024, (s + 1) * 1024, per_seg) for s in range(segments)
+    ]).astype(np.int32)
+    a = rng.normal(size=idx.shape).astype(np.float32)
+    b = rng.normal(size=idx.shape).astype(np.float32)
+
+    def make_rows(fs):
+        fa, fb = fs
+        return (fa[:, None] * fb[:, None]) * jnp.ones((1, Wrow), jnp.float32)
+
+    kw = dict(row_width=Wrow, table_len=table_len, out_dtype=jnp.float32,
+              window=128, max_updates_factor=6, batch_windows=4)
+    out_global = fg.sorted_window_accumulate_factored(
+        jnp.asarray(idx), (jnp.asarray(a), jnp.asarray(b)), make_rows, **kw)
+    out_seg = fg.sorted_window_accumulate_factored(
+        jnp.asarray(idx), (jnp.asarray(a), jnp.asarray(b)), make_rows,
+        presorted_segments=segments, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_seg), np.asarray(out_global), rtol=1e-5, atol=1e-5)
