@@ -102,6 +102,7 @@ def render_image(
     c2w_override=None,
     rng: jax.Array | None = None,
     chunks_per_call: int = 8,
+    mesh=None,
 ) -> dict:
     """Render one full camera view -> dict of (h, w, c) images.
 
@@ -109,6 +110,12 @@ def render_image(
     (dispatch amortization over the tunnel); the tail runs as single-chunk
     calls so no padded compute is wasted. Both variants compile once per
     (camera geometry, config, chunk) and are shared across all views.
+
+    mesh: optional jax.sharding.Mesh — shards each chunk's RAY axis across
+    the mesh's "data" axis (params/occ replicated; XLA partitions the whole
+    per-ray render, computation-follows-data). Rays are embarrassingly
+    parallel, so an N-chip slice renders N× faster with one all-gather of
+    the (chunk, c) outputs per call. chunk must divide by the mesh size.
     """
     h, w = cams.height, cams.width
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -124,6 +131,25 @@ def render_image(
     if c2w_override is not None:
         c2w = jnp.broadcast_to(jnp.asarray(c2w_override), (chunk, 3, 4))
 
+    ray_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lsenerf_tpu.parallel import mesh as mesh_lib
+
+        if chunk % mesh.devices.size:
+            raise ValueError(
+                f"chunk ({chunk}) must divide by the mesh size "
+                f"({mesh.devices.size})"
+            )
+        ray_sharding = NamedSharding(mesh, P("data"))
+        model_params = mesh_lib.replicate(model_params, mesh)
+        occ_state = mesh_lib.replicate(occ_state, mesh)
+        idx = jax.device_put(idx, ray_sharding)
+        app = jax.device_put(app, ray_sharding)
+        if c2w is not None:
+            c2w = jax.device_put(c2w, NamedSharding(mesh, P("data", None, None)))
+
     outs = []
     key = rng if rng is not None else jax.random.PRNGKey(0)
     kcall = max(1, int(chunks_per_call))
@@ -132,12 +158,19 @@ def render_image(
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, n_grouped)
         keys = keys.reshape((n_grouped // kcall, kcall) + keys.shape[1:])
-        grouped = jnp.asarray(
+        grouped = np.asarray(
             coords[: n_grouped * chunk].reshape(-1, kcall, chunk, 2)
         )
         for g in range(grouped.shape[0]):
+            coords_g = jnp.asarray(grouped[g])
+            if ray_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                coords_g = jax.device_put(
+                    coords_g, NamedSharding(mesh, P(None, "data", None))
+                )
             out = _render_chunks(
-                model_params, cams, occ_state, grouped[g], idx, app, c2w,
+                model_params, cams, occ_state, coords_g, idx, app, c2w,
                 keys[g], config=config,
             )
             # (k, chunk, ...) -> flat (k*chunk, ...)
@@ -146,10 +179,12 @@ def render_image(
             )
     for i in range(n_grouped * chunk, len(coords), chunk):
         key, k = jax.random.split(key)
+        coords_i = jnp.asarray(coords[i : i + chunk])
+        if ray_sharding is not None:
+            coords_i = jax.device_put(coords_i, ray_sharding)
         outs.append(
             _render_chunk(
-                model_params, cams, occ_state,
-                jnp.asarray(coords[i : i + chunk]), idx, app, c2w, k,
+                model_params, cams, occ_state, coords_i, idx, app, c2w, k,
                 config=config,
             )
         )

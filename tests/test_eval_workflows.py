@@ -356,3 +356,54 @@ def test_eval_batch_cadence(tmp_path, monkeypatch):
         assert np.isfinite(h["eval_batch_psnr"])
         # cadence: logged at a step where (it+1) % 10 wraps within the chunk
         assert (h["step"] + 1) % 10 <= 16
+
+
+def test_render_image_mesh_sharded_parity():
+    """mesh-sharded eval rendering (rays DP'd over the virtual 8-device
+    mesh, params replicated) must produce the same image as the
+    single-device path."""
+    import jax
+    import numpy as np
+
+    from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
+    from lsenerf_tpu.data.synthetic import make_synthetic_scene
+    from lsenerf_tpu.engine import renderer
+    from lsenerf_tpu.engine.trainer import Trainer, TrainerConfig
+    from lsenerf_tpu.parallel.mesh import make_mesh
+    from tests.test_train_e2e import tiny_model_config
+
+    col, _ = make_synthetic_scene(n_cams=3, h=24, w=32, focal=25.0)
+    dm = MultiCamDataManager(
+        DataManagerConfig(train_num_rays_per_batch=64, rgb_frac=1.0), col, None
+    )
+    trainer = Trainer(TrainerConfig(), tiny_model_config(), dm)
+    state = trainer.setup(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    kw = dict(
+        appearance_id=1, chunk=128, chunks_per_call=2,
+        rng=jax.random.PRNGKey(7),
+    )
+    single = renderer.render_image(
+        state.params["model"], col.cameras, 1, state.occ,
+        trainer.model_config, **kw,
+    )
+    sharded = renderer.render_image(
+        state.params["model"], col.cameras, 1, state.occ,
+        trainer.model_config, mesh=mesh, **kw,
+    )
+    for name in single:
+        np.testing.assert_allclose(
+            sharded[name], single[name], rtol=2e-5, atol=2e-5,
+            err_msg=name,
+        )
+
+    # bad chunk size fails loudly, not with a silent reshard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        renderer.render_image(
+            state.params["model"], col.cameras, 0, state.occ,
+            trainer.model_config, chunk=100, mesh=mesh,
+        )
