@@ -148,9 +148,11 @@ def average_eval_metrics(
     apply_cam_opt: bool = False,
     lpips_weights: Optional[str] = None,
     evs_only: bool = False,
+    mesh=None,
 ) -> dict:
     """Loop all eval views; write artifacts; return per-key means
-    (reference lse_pipeline.py:185-233)."""
+    (reference lse_pipeline.py:185-233). mesh: shard each render chunk's
+    rays over the device mesh (multi-chip eval)."""
     write_git_hash_txt(log_dir)
     writer = LSEWriter(log_dir)
     lpips = metric_ops.LPIPSMetric(lpips_weights)
@@ -180,7 +182,7 @@ def average_eval_metrics(
         outputs = renderer.render_image(
             state.params["model"], cams, idx, state.occ, trainer.model_config,
             appearance_id=int(eval_dataset.appearance_ids[idx]),
-            chunk=chunk, c2w_override=c2w,
+            chunk=chunk, c2w_override=c2w, mesh=mesh,
         )
         h, w = outputs["rgb"].shape[:2]
         gt = eval_dataset.images[idx]

@@ -94,6 +94,20 @@ def main(argv=None):
             f"{jax.process_count()} host(s)"
         )
 
+    # eval renders shard their ray chunks over the same mesh when the chunk
+    # divides evenly (single-process only: full-image assembly is host-local)
+    eval_mesh = None
+    if mesh is not None and jax.process_count() == 1:
+        if config.pipeline.model.eval_num_rays_per_chunk % mesh.devices.size == 0:
+            eval_mesh = mesh
+        else:
+            print(
+                "[lsenerf-tpu] eval chunk "
+                f"{config.pipeline.model.eval_num_rays_per_chunk} does not "
+                f"divide by {mesh.devices.size} devices — eval renders stay "
+                "single-device"
+            )
+
     col, evs, eval_ds, sp = build_datasets(config, parser_cfg)
     dm = MultiCamDataManager(
         dm_cfg, col, evs, seed=config.machine.seed + jax.process_index()
@@ -219,6 +233,7 @@ def main(argv=None):
                 trainer.model_config,
                 appearance_id=int(eval_ds.appearance_ids[0]),
                 chunk=config.pipeline.model.eval_num_rays_per_chunk,
+                mesh=eval_mesh,
                 attempts=2,
             )
             print("[lsenerf-tpu] eval render path pre-compiled")
@@ -347,6 +362,7 @@ def main(argv=None):
                     trainer.model_config,
                     appearance_id=int(eval_ds.appearance_ids[vi]),
                     chunk=config.pipeline.model.eval_num_rays_per_chunk,
+                    mesh=eval_mesh,
                     attempts=3,
                 )
                 psnr_v = float(_metrics.psnr(
@@ -370,6 +386,7 @@ def main(argv=None):
                     chunk=config.pipeline.model.eval_num_rays_per_chunk,
                     apply_cam_opt=config.is_eval,
                     evs_only=(config.pipeline.datamanager.rgb_frac == 0),
+                    mesh=eval_mesh,
                     attempts=3,
                 )
                 print(f"[eval @ {last}] "
