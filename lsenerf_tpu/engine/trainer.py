@@ -523,13 +523,25 @@ class Trainer:
 
     # -- occupancy maintenance ----------------------------------------------
 
-    def make_occ_update(self):
+    def make_occ_update(self, mesh=None):
+        """mesh: shard the cell-density sweep across devices (the cells are
+        embarrassingly parallel; the updated grid is re-replicated by one
+        all-gather at the end). None = every device repeats the full sweep
+        (the replicated-update caveat for multi-chip runs)."""
         mcfg = self.model_config
         gcfg = mcfg.grid
         step_size = mcfg.march_config().render_step_size
         num_cells = max(
             1, int(gcfg.resolution**3 * gcfg.sample_fraction)
         )
+        shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shardings = (
+                NamedSharding(mesh, P(None, "data", None)),  # (k, chunk, 3)
+                NamedSharding(mesh, P()),  # replicated
+            )
 
         # chunk the density sweep: at production sizes (128^3/4 cells x 4
         # levels ~ 2M positions) a single fused hash-encode would materialize
@@ -541,6 +553,9 @@ class Trainer:
             flat = positions.reshape(-1, 3)
             m = flat.shape[0]
             chunk = min(m, 131072)
+            if shardings is not None:
+                n_dev = mesh.devices.size
+                chunk = min(m, ((chunk + n_dev - 1) // n_dev) * n_dev)
             pad = (-m) % chunk
             flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)])
             field_params = jax.lax.stop_gradient(state.params["model"]["field"])
@@ -548,9 +563,17 @@ class Trainer:
             def eval_chunk(p):
                 return field_lib.density_fn(field_params, p, mcfg.field)[:, 0]
 
-            dens = jax.lax.map(
-                eval_chunk, flat.reshape(-1, chunk, 3)
-            ).reshape(-1)[:m].reshape(gcfg.levels, num_cells)
+            chunks = flat.reshape(-1, chunk, 3)
+            if shardings is not None:
+                # shard each chunk's cell axis; every device evaluates 1/N
+                # of the sampled cells instead of all of them
+                chunks = jax.lax.with_sharding_constraint(chunks, shardings[0])
+            dens = jax.lax.map(eval_chunk, chunks)
+            dens = dens.reshape(-1)[:m].reshape(gcfg.levels, num_cells)
+            if shardings is not None:
+                # one all-gather: the grid must be whole on every device for
+                # the march
+                dens = jax.lax.with_sharding_constraint(dens, shardings[1])
             occ = occ_lib.sampled_update(state.occ, cell_ids, dens * step_size, gcfg)
             return state.replace(occ=occ, rng=rng)
 

@@ -179,3 +179,32 @@ def test_sharded_multistep_converges():
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_sharded_occ_update_matches_single_device():
+    """make_occ_update(mesh=...) shards the cell-density sweep over devices;
+    the resulting occupancy state (and advanced rng) must equal the
+    single-device update exactly (same rng -> same sampled cells -> same
+    densities, just partitioned)."""
+    trainer, state = _tiny_trainer()
+    mesh = mesh_lib.make_mesh(8)
+
+    upd1 = trainer.make_occ_update()
+    upd8 = trainer.make_occ_update(mesh=mesh)
+
+    out1 = upd1(state)
+    state_r = mesh_lib.replicate(trainer.setup(jax.random.PRNGKey(0)), mesh)
+    out8 = upd8(state_r)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out1.occ), jax.tree_util.tree_leaves(out8.occ)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-6, atol=1e-6,
+        )
+    np.testing.assert_array_equal(np.asarray(out1.rng), np.asarray(out8.rng))
+    # and the sharded update composes with the sharded train step
+    batch = mesh_lib.shard_batch(trainer.dm.next_train(0), mesh)
+    state2, metrics = trainer.make_train_step()(out8, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -126,6 +126,9 @@ def main(argv=None):
         from lsenerf_tpu.parallel import mesh as mesh_lib
 
         state = mesh_lib.replicate(state, mesh)
+        # shard the occupancy density sweep too (otherwise every device
+        # repeats the full sweep)
+        trainer._occ_update = trainer.make_occ_update(mesh=mesh)
 
     def graft_test_embedding(state):
         """Add the 1-row test embedding to the param tree (+ rebuild the
