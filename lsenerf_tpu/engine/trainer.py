@@ -392,6 +392,31 @@ class Trainer:
         return train_steps
 
     def _build_step_impl(self):
+        loss_fn = self._build_loss_fn()
+
+        def step_impl(state: TrainState, batch: dict):
+            rng_next, rng_step = jax.random.split(state.rng)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.occ, batch, state.step, rng_step
+            )
+            updates, new_opt = self._tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["loss"] = loss
+            return (
+                state.replace(
+                    step=state.step + 1, params=new_params, opt_state=new_opt,
+                    rng=rng_next,
+                ),
+                metrics,
+            )
+
+        return step_impl
+
+    def _build_loss_fn(self):
+        """The pure (params, occ, batch, step, rng) -> (loss, metrics) step
+        forward. Exposed separately from _build_step_impl so profiling
+        harnesses can time the forward / backward / optimizer parts of the
+        step independently (scripts/probe_step_parts.py)."""
         mcfg = self.model_config
         tcfg = self.config
         has_col = self.dm.config.train_num_col_rays_per_batch > 0 and self.dm.col is not None
@@ -481,23 +506,7 @@ class Trainer:
                 )
             return total, metrics
 
-        def step_impl(state: TrainState, batch: dict):
-            rng_next, rng_step = jax.random.split(state.rng)
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.occ, batch, state.step, rng_step
-            )
-            updates, new_opt = self._tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            metrics["loss"] = loss
-            return (
-                state.replace(
-                    step=state.step + 1, params=new_params, opt_state=new_opt,
-                    rng=rng_next,
-                ),
-                metrics,
-            )
-
-        return step_impl
+        return loss_fn
 
     def make_eval_batch_fn(self, cameras):
         """Jitted eval-ray-batch loss (nerfstudio Trainer
