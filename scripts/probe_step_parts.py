@@ -90,8 +90,10 @@ def build_variants(trainer):
 def main():
     from __graft_entry__ import _flagship
 
+    print("setup: building flagship trainer...", flush=True)
     trainer, state0 = _flagship(tiny=False)
     make, tx_sgd = build_variants(trainer)
+    print("setup done", flush=True)
     occ_update = trainer._occ_update
     dm = trainer.dm
     rays = dm.config.train_num_rays_per_batch
@@ -114,8 +116,10 @@ def main():
             state = occ_update(state)
             return steps(state, batches)
 
+        print(f"[{kind}] compiling...", flush=True)
         state, m = with_tpu_retry(chunk, state, 0)
         jax.block_until_ready(m["loss"])
+        print(f"[{kind}] compiled; warming {WARM_CHUNKS} chunks", flush=True)
         for i in range(WARM_CHUNKS):
             state, m = chunk(state, (i + 1) * SCAN_K)
         jax.block_until_ready(m["loss"])
