@@ -103,6 +103,14 @@ class HashEncodingConfig:
     # 2^blocked_rows_log2 additionally forces hashed levels onto the exact
     # path (slow; oracle/testing use).
     dense_grad_rows: int = 4096
+    # Windowed-accumulate tiling for the hashed-level table gradient. Total
+    # one-hot matmul work is sum_w(window x max_updates x row_width) MACs
+    # = (max_updates_factor x m) x window x row_width — it scales LINEARLY
+    # with `window` — while the sequential lax.map iteration count is
+    # n_windows / batch_windows. Tuned on chip (scripts/tune_accumulate.py,
+    # ab_bench acc_* variants); see the call-site comment for measurements.
+    accum_window: int = 512
+    accum_batch_windows: int = 32
     # FORWARD lookups for levels with at most this many rows go through a
     # fused one-hot MXU matmul instead of the row gather. TPU row gathers
     # are latency-bound (~6-10 ns/row) while the MXU is nearly idle, so
@@ -495,7 +503,9 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                 sorted_window_accumulate_factored(
                     keys_h, factors_h, make_rows, Wrow,
                     total_rows - dense_total,
-                    out_dtype=jnp.float32, window=512, batch_windows=32,
+                    out_dtype=jnp.float32,
+                    window=config.accum_window,
+                    batch_windows=config.accum_batch_windows,
                     max_updates_factor=3,
                     # keys_h is level-major with increasing per-level row
                     # offsets: per-level batched sorts concatenated == the

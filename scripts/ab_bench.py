@@ -33,6 +33,12 @@ VARIANTS = {
     "gather_phase2": {"LSENERF_PACKED_PHASE2": "0"},  # pre-bitpack phase 2
     "segmented_sort": {"LSENERF_SEGMENTED_SORT": "1"},  # batched per-level bwd sort (measured SLOWER, off)
     "global_sort": {"LSENERF_SEGMENTED_SORT": "0"},  # single 1.85M-key sort (default)
+    # accumulate tiling: one-hot matmul flops scale with window; lax.map
+    # iteration count with n_windows/batch_windows. Smaller windows at the
+    # SAME iteration count (bw scaled up) cut flops 2-4x.
+    "acc_256_64": {"LSENERF_ACC_WINDOW": "256", "LSENERF_ACC_BW": "64"},
+    "acc_128_128": {"LSENERF_ACC_WINDOW": "128", "LSENERF_ACC_BW": "128"},
+    "acc_1024_16": {"LSENERF_ACC_WINDOW": "1024", "LSENERF_ACC_BW": "16"},
 }
 
 
