@@ -403,3 +403,27 @@ def test_pallas_combine_unit():
                 for f in range(F):
                     want[f] += wt * rows[:, v * F + f]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("window,bw", [(128, 16), (1024, 4)])
+def test_accum_tiling_exact(cfg, window, bw):
+    """Non-default accumulate tilings (HashEncodingConfig.accum_window /
+    accum_batch_windows, the ab_bench acc_* knobs) produce the same table
+    gradient as the autodiff oracle — tiling is a pure performance knob."""
+    from dataclasses import replace
+
+    cfg_tiled = replace(cfg, blocked_backward="factored",
+                        accum_window=window, accum_batch_windows=bw)
+    cfg_ref = replace(cfg, blocked_backward="autodiff")
+    tab = he.init_hash_table(jax.random.PRNGKey(8), cfg) * 10.0
+    pos = jax.random.uniform(jax.random.PRNGKey(9), (301, 3), minval=0.0,
+                             maxval=1.0)
+    probe = jax.random.normal(jax.random.PRNGKey(10), (301, cfg.out_dim))
+
+    def loss(c):
+        return lambda t: (he.hash_encode(t, pos, c) * probe).sum()
+
+    gt_t = jax.grad(loss(cfg_tiled))(tab)
+    gt_r = jax.grad(loss(cfg_ref))(tab)
+    np.testing.assert_allclose(np.asarray(gt_t), np.asarray(gt_r),
+                               rtol=1e-4, atol=1e-5)
