@@ -225,6 +225,9 @@ def main(argv=None):
         if args.emb
         else "deblur+spline+co_map+powpow (train_lse_data.sh)"
     )
+    if args.extra:
+        # extra overrides change the protocol — record them
+        config_name += " + " + " ".join(args.extra)
     entry = {
         "protocol": {
             "steps": args.steps, "seed": args.seed,
