@@ -17,6 +17,13 @@ training throughput on its intended GPU (tcnn-backed Instant-NGP trainers
 sustain ~100-130 steps/s at 3512 rays/step on an RTX 3090-class card =>
 ~4.0e5 rays/s). vs_baseline = ours / that estimate; the >=5x/chip target from
 BASELINE.md means vs_baseline >= 5.
+
+SENSITIVITY: the denominator is a guess with real error bars. Published
+community numbers for tcnn Instant-NGP trainers on 3090-class hardware span
+roughly 60-160 steps/s at this batch size depending on scene/occupancy state
+(2.1e5-5.6e5 rays/s). Every vs_baseline headline inherits that uncertainty;
+the bench therefore also prints `vs_baseline_range` = [value/5.6e5,
+value/2.1e5] so the spread travels with the number.
 """
 
 import argparse
@@ -25,6 +32,9 @@ import sys
 import time
 
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 4.0e5
+# plausible range of the same estimate (see module docstring SENSITIVITY)
+REFERENCE_RAYS_PER_SEC_LOW = 2.1e5
+REFERENCE_RAYS_PER_SEC_HIGH = 5.6e5
 SCAN_K = 16  # steps per device call == occupancy update interval
 
 # v5e peak numbers for the utilization diagnostics
@@ -132,6 +142,10 @@ def main():
         "vs_baseline": round(
             flag["rays_per_sec"] / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3
         ),
+        "vs_baseline_range": [
+            round(flag["rays_per_sec"] / REFERENCE_RAYS_PER_SEC_HIGH, 3),
+            round(flag["rays_per_sec"] / REFERENCE_RAYS_PER_SEC_LOW, 3),
+        ],
     }
     for k in ("mfu_pct", "hbm_util_pct"):
         if k in flag:

@@ -84,6 +84,15 @@ class TrainerConfig:
     steps_per_eval_all_images: int = 25000
     seed: int = 42
     mode: str = RunMode.TRAIN
+    # Production-real sentinel for the blocked backward's silent-gradient-
+    # drop contract (ops/fast_gather.py:20-24): every N steps the training
+    # loop runs a standalone jitted probe that counts how many hash-table
+    # gradient updates the sorted windowed backward WOULD drop on the current
+    # batch, and logs it as "grad_overflow". At 1-in-256 the probe costs
+    # ~0.06% of step time (vs ~15% for the in-step telemetry knob,
+    # ModelConfig.grad_overflow_telemetry, which stays for dense validation
+    # of a new scene/config). 0 disables.
+    grad_overflow_every: int = 256
     fields_optimizer: OptimizerGroupConfig = dc_field(
         default_factory=OptimizerGroupConfig
     )
@@ -490,14 +499,43 @@ class Trainer:
             metrics = dict(loss_dict)
             if overflow is not None:
                 metrics["grad_overflow"] = overflow
-            # camera-opt norms (reference lse_pipeline.py:134-142)
+            # camera-opt norms for the ACTIVE optimizer type (reference
+            # lse_pipeline.py:134-142 logs translation/rotation magnitudes).
+            # ns deltas: norm of the adjustment itself; prevnext: per-branch;
+            # spline (the headline protocol): drift of the learned knot
+            # tangents from their trajectory init + the dM baseline-scale
+            # deviation — without these a spline run trains its camera
+            # parameters with no drift signal at all.
             for name, cp in cam_params.items():
-                if isinstance(cp, dict) and "pose_adjustment" in cp:
+                if not isinstance(cp, dict):
+                    continue
+                if "pose_adjustment" in cp:
                     pa = cp["pose_adjustment"]
                     metrics[f"camera_opt_translation_{name}"] = jnp.linalg.norm(
                         pa[:, :3]
                     )
                     metrics[f"camera_opt_rotation_{name}"] = jnp.linalg.norm(pa[:, 3:])
+                if "prev" in cp and isinstance(cp["prev"], dict):
+                    for sub in ("prev", "next"):
+                        pa = cp[sub]["pose_adjustment"]
+                        metrics[f"camera_opt_translation_{name}_{sub}"] = (
+                            jnp.linalg.norm(pa[:, :3])
+                        )
+                        metrics[f"camera_opt_rotation_{name}_{sub}"] = (
+                            jnp.linalg.norm(pa[:, 3:])
+                        )
+                if "ctrl_tangents" in cp and self.col_spline_params is not None:
+                    init_tan = jax.lax.stop_gradient(
+                        jnp.asarray(self.col_spline_params["ctrl_tangents"])
+                    )
+                    d = cp["ctrl_tangents"] - init_tan
+                    metrics[f"camera_opt_translation_{name}"] = jnp.linalg.norm(
+                        d[:, :3]
+                    )
+                    metrics[f"camera_opt_rotation_{name}"] = jnp.linalg.norm(d[:, 3:])
+                    metrics[f"camera_opt_scale_drift_{name}"] = jnp.abs(
+                        cp["scale"][0] - 1.0
+                    )
             if col_out is not None:
                 mse = jnp.mean((col_out["rgb"] - col_batch["image"]) ** 2)
                 metrics["psnr"] = -10.0 * jnp.log10(mse)
@@ -507,6 +545,61 @@ class Trainer:
             return total, metrics
 
         return loss_fn
+
+    def make_overflow_probe(self):
+        """Jitted sentinel: hash-gradient updates the sorted windowed backward
+        would DROP on a given batch (the blocked backward's overflow contract,
+        ops/fast_gather.py:20-24; counter: hash_encoding.blocked_overflow_count).
+
+        Called host-side by the training loop every
+        TrainerConfig.grad_overflow_every steps — one extra march + key sort
+        at 1-in-256 cadence is ~0.06% of wall clock, vs ~15%/step for the
+        in-step telemetry config. Returns None when the layout has no
+        overflow contract (ngp layout takes the exact scatter-free path for
+        every level)."""
+        mcfg = self.model_config
+        tcfg = self.config
+        if mcfg.field.hash.layout != "blocked":
+            return None
+        from lsenerf_tpu.ops import hash_encoding as he
+        from lsenerf_tpu.ops import march as march_lib
+
+        has_col = (
+            self.dm.config.train_num_col_rays_per_batch > 0 and self.dm.col is not None
+        )
+        has_evs = (
+            self.dm.config.train_num_evs_rays_per_batch > 0 and self.dm.evs is not None
+        )
+
+        @jax.jit
+        def probe(params, occ, batch, step):
+            cam_params = params["camera_opt"]
+            bundles = []
+            if has_col:
+                gate = pose_opt.activation_gate(
+                    step, tcfg.col_cam_opt.scheme, tcfg.col_cam_opt.delay_cnt
+                )
+                bundles.append(self._make_col_bundle(cam_params, batch, gate))
+            if has_evs:
+                gate = pose_opt.activation_gate(
+                    step, tcfg.evs_cam_opt.scheme, tcfg.evs_cam_opt.delay_cnt
+                )
+                prev_b, next_b = self._make_evs_bundles(cam_params, batch, gate)
+                bundles.append(prev_b)
+                if "denerf" not in mcfg.event_loss_type:
+                    bundles.append(next_b)
+            big = (
+                model_lib.concat_bundles(bundles) if len(bundles) > 1 else bundles[0]
+            )
+            samples = march_lib.march_rays(
+                big, occ, mcfg.grid, mcfg.march_config()
+            )
+            unit, _ = field_lib.contract_positions(
+                samples.positions.reshape(-1, 3), mcfg.field
+            )
+            return he.blocked_overflow_count(unit, mcfg.field.hash)
+
+        return probe
 
     def make_eval_batch_fn(self, cameras):
         """Jitted eval-ray-batch loss (nerfstudio Trainer
@@ -599,18 +692,14 @@ class Trainer:
         return state
 
     def train(self, state: TrainState, num_steps: Optional[int] = None, log_every=100,
-              callback=None):
-        num_steps = num_steps or self.config.max_num_iterations
-        gcfg = self.model_config.grid
-        metrics = {}
-        for i in range(num_steps):
-            step = int(state.step)
-            if step % gcfg.update_interval == 0:
-                state = self._occ_update(state)
-            batch = {
-                k: jnp.asarray(v) for k, v in self.dm.next_train(step).items()
-            }
-            state, metrics = self._train_step(state, batch)
-            if callback is not None and (step % log_every == 0):
-                callback(step, {k: float(v) for k, v in metrics.items()})
-        return state, metrics
+              callback=None, **loop_kwargs):
+        """Library entry point — a thin alias for engine.loop.run_training_loop
+        (the SAME loop the CLI runs, so tests exercise production cadence
+        logic). Extra keyword args (scan_steps, mesh, eval_ds, ckpt_dir, ...)
+        pass through to the loop."""
+        from lsenerf_tpu.engine.loop import run_training_loop
+
+        return run_training_loop(
+            self, state, num_steps=num_steps, log_every=log_every,
+            callback=callback, **loop_kwargs,
+        )

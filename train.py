@@ -19,7 +19,6 @@ Examples:
 from __future__ import annotations
 
 import datetime
-import math
 import os
 import os.path as osp
 import sys
@@ -64,7 +63,6 @@ def main(argv=None):
 
     from lsenerf_tpu.data.datamanager import MultiCamDataManager
     from lsenerf_tpu.engine import checkpoints as ckpt_lib
-    from lsenerf_tpu.engine import evaluation
     from lsenerf_tpu.engine.trainer import Trainer
     from lsenerf_tpu.engine.writer import ScalarLogger, get_git_hash
 
@@ -196,26 +194,6 @@ def main(argv=None):
     print(f"[lsenerf-tpu] git {get_git_hash()[:12]}, devices {jax.devices()}")
 
     ckpt_dir = osp.join(base_dir, "checkpoints")
-    # nerfstudio loop semantics: run max_num_iterations steps FROM the start
-    # step (so eval-mode runs schedule steps_per_eval_all_images at
-    # load_step + max_iter - 5, reference train.py:269)
-    start = int(state.step)
-    end = start + config.max_num_iterations if start > 0 else config.max_num_iterations
-    import jax.numpy as jnp
-
-    profile_dir = os.environ.get("LSENERF_PROFILE_DIR")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-
-    # lax.scan chunking: >1 amortizes the per-dispatch host latency (the dev
-    # chip's tunnel costs ~20 ms/dispatch — the default scan_steps=16 gives
-    # the CLI the same throughput as bench.py). Under a mesh, stacked
-    # batches are sharded along the RAY axis (axis 1) so dispatch
-    # amortization and data parallelism compose (mesh.shard_batch_stacked).
-    scan_k = max(1, int(config.machine.scan_steps))
-    train_steps_multi = (
-        trainer.make_train_step_multi(scan_k) if scan_k > 1 else None
-    )
 
     from lsenerf_tpu.utils.tpu_retry import with_tpu_retry
 
@@ -244,163 +222,30 @@ def main(argv=None):
             print(f"[lsenerf-tpu] eval render pre-compile failed "
                   f"({type(e).__name__}) — evals may be skipped")
 
-    def covered(first, every, k=None):
-        """Does [first, first+k-1] contain a multiple of `every`?"""
-        if first <= 0:
-            return True
-        k = scan_k if k is None else k
-        return (first + k - 1) // every > (first - 1) // every
+    # THE loop (engine/loop.py — the same function Trainer.train drives, so
+    # tests and the CLI exercise identical cadence logic). scan_steps > 1
+    # amortizes per-dispatch host latency via lax.scan chunks (the dev chip's
+    # tunnel costs ~20 ms/dispatch — the default 16 gives the CLI the same
+    # throughput as bench.py); under a mesh, stacked batches shard along the
+    # RAY axis so dispatch amortization and data parallelism compose.
+    from lsenerf_tpu.engine.loop import run_training_loop
 
-    # eval-ray-batch loss cadence (reference steps_per_eval_batch=500,
-    # lse_config.py:16): one jitted fn reused across all cadence hits
-    eval_batch_fn = None
-    if eval_ds is not None and not config.is_render:
-        import numpy as _np
-
-        eval_batch_fn = trainer.make_eval_batch_fn(eval_ds.cameras)
-        eval_batch_rng = _np.random.default_rng(config.machine.seed + 17)
-
-    first_dispatch = True
-    for it in range(start, end, scan_k):
-        # trim the final chunk so the loop never trains past `end`
-        # (the remainder runs as single steps — one extra compile at most)
-        k_eff = min(scan_k, end - it)
-        if not config.is_render and covered(it, model_cfg.grid.update_interval, k_eff):
-            if first_dispatch:
-                # first device compile of the process: the remote TPU
-                # compile helper intermittently SIGILLs there (see
-                # utils/tpu_retry.py) — retry with cooldown
-                state = with_tpu_retry(trainer._occ_update, state)
-            else:
-                state = trainer._occ_update(state)
-        if scan_k > 1 and k_eff == scan_k:
-            raw_stack = dm.next_train_stack(it, scan_k)
-            if mesh is not None:
-                from lsenerf_tpu.parallel import mesh as mesh_lib
-
-                batches = mesh_lib.shard_batch_stacked(raw_stack, mesh)
-            else:
-                batches = {k: jnp.asarray(v) for k, v in raw_stack.items()}
-            step_fn, batch_list = train_steps_multi, [batches]
-        else:
-            batch_list = []
-            for j in range(k_eff):
-                raw = dm.next_train(it + j)
-                if mesh is not None:
-                    from lsenerf_tpu.parallel import mesh as mesh_lib
-
-                    batch_list.append(mesh_lib.shard_batch(raw, mesh))
-                else:
-                    batch_list.append(
-                        {k: jnp.asarray(v) for k, v in raw.items()}
-                    )
-            step_fn = trainer._train_step
-        for batch in batch_list:
-            if first_dispatch:
-                # the remote TPU compile helper intermittently crashes on the
-                # first compile of a fresh process (see utils/tpu_retry.py)
-                state, metrics = with_tpu_retry(step_fn, state, batch)
-                first_dispatch = False
-            else:
-                state, metrics = step_fn(state, batch)
-        # (make_train_step_multi already reduces metrics to the chunk's
-        # last step)
-        last = it + k_eff - 1  # true last completed step of this chunk
-        if profile_dir and it - start >= 30:
-            jax.profiler.stop_trace()
-            profile_dir = None
-
-        if covered(it, 100, k_eff):
-            scal = {k: float(v) for k, v in metrics.items()}
-            logger.log(last, scal)
-            if not math.isfinite(scal.get("loss", 0.0)):
-                # fail fast: keeping going would burn the remaining budget
-                # training garbage (params are already non-finite)
-                raise RuntimeError(
-                    f"non-finite loss at step {last}: {scal} — aborting "
-                    "(inspect with scripts/probe_nan_instrument.py)"
-                )
-            if covered(it, 1000, k_eff):
-                print(f"step {last}: " + ", ".join(f"{k}={v:.4f}" for k, v in scal.items()))
-        if (
-            eval_batch_fn is not None
-            and covered(it + 1, config.steps_per_eval_batch, k_eff)
-        ):
-            import numpy as _np
-
-            nb = config.pipeline.datamanager.eval_num_rays_per_batch
-            cams = eval_ds.cameras
-            vi = eval_batch_rng.integers(0, len(eval_ds), nb)
-            ys = eval_batch_rng.integers(0, cams.height, nb)
-            xs = eval_batch_rng.integers(0, cams.width, nb)
-            try:
-                em = with_tpu_retry(
-                    eval_batch_fn,
-                    state.params, state.occ,
-                    jnp.asarray(vi, jnp.int32),
-                    jnp.asarray(_np.stack([ys, xs], 1), jnp.float32),
-                    jnp.asarray(eval_ds.images[vi, ys, xs]),
-                    jnp.asarray(eval_ds.appearance_ids[vi], jnp.int32),
-                    attempts=2,
-                )
-                logger.log(last, {k: float(v) for k, v in em.items()})
-            except Exception as e:  # noqa: BLE001 — keep training alive
-                print(f"[eval-batch @ {last}] SKIPPED ({type(e).__name__})")
-        if covered(it + 1, config.steps_per_eval_image, k_eff) and eval_ds is not None:
-            # single-view eval (reference steps_per_eval_image cadence via
-            # LSERandIndicesEvalDataloader, lse_datamanager.py:474-479)
-            import numpy as _np
-
-            from lsenerf_tpu.engine import renderer as _renderer
-            from lsenerf_tpu.ops import metrics as _metrics
-
-            # evals are auxiliary: a flaky eval-path compile (the remote
-            # helper can SIGILL on ANY fresh compile) must not kill a
-            # 200k-step training run — retry, then skip on failure
-            vi = int(_np.random.default_rng(it).integers(0, len(eval_ds)))
-            try:
-                out = with_tpu_retry(
-                    _renderer.render_image,
-                    state.params["model"], eval_ds.cameras, vi, state.occ,
-                    trainer.model_config,
-                    appearance_id=int(eval_ds.appearance_ids[vi]),
-                    chunk=config.pipeline.model.eval_num_rays_per_chunk,
-                    mesh=eval_mesh,
-                    attempts=3,
-                )
-                psnr_v = float(_metrics.psnr(
-                    jnp.asarray(eval_ds.images[vi]), jnp.asarray(out["rgb"])
-                ))
-                logger.log(last, {"eval_psnr": psnr_v})
-                print(f"[eval-image @ {last}] view {vi} psnr {psnr_v:.2f}")
-            except Exception as e:  # noqa: BLE001 — keep training alive
-                print(f"[eval-image @ {last}] SKIPPED ({type(e).__name__}: "
-                      f"{str(e).splitlines()[0][:120]})")
-        if covered(it + 1, config.steps_per_save, k_eff):
-            ckpt_lib.save_checkpoint(
-                ckpt_dir, last, state.params, state.occ,
-                opt_state=state.opt_state, rng=state.rng,
-            )
-        if covered(it + 1, config.steps_per_eval_all_images, k_eff) and eval_ds is not None:
-            try:
-                means = with_tpu_retry(
-                    evaluation.average_eval_metrics,
-                    trainer, state, eval_ds, base_dir,
-                    chunk=config.pipeline.model.eval_num_rays_per_chunk,
-                    apply_cam_opt=config.is_eval,
-                    evs_only=(config.pipeline.datamanager.rgb_frac == 0),
-                    mesh=eval_mesh,
-                    attempts=3,
-                )
-                print(f"[eval @ {last}] "
-                      + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
-            except Exception as e:  # noqa: BLE001 — keep training alive
-                print(f"[eval @ {last}] SKIPPED ({type(e).__name__}: "
-                      f"{str(e).splitlines()[0][:120]})")
-
-    ckpt_lib.save_checkpoint(
-        ckpt_dir, end - 1, state.params, state.occ,
-        opt_state=state.opt_state, rng=state.rng,
+    state, _ = run_training_loop(
+        trainer, state,
+        num_steps=config.max_num_iterations,
+        scan_steps=int(config.machine.scan_steps),
+        mesh=mesh,
+        eval_mesh=eval_mesh,
+        logger=logger,
+        eval_ds=eval_ds,
+        eval_chunk=config.pipeline.model.eval_num_rays_per_chunk,
+        eval_batch_rays=config.pipeline.datamanager.eval_num_rays_per_batch,
+        ckpt_dir=ckpt_dir,
+        base_dir=base_dir,
+        is_render=config.is_render,
+        apply_cam_opt=config.is_eval,
+        evs_only=(config.pipeline.datamanager.rgb_frac == 0),
+        profile_dir=os.environ.get("LSENERF_PROFILE_DIR"),
     )
     logger.close()
     print("[lsenerf-tpu] done")
