@@ -43,7 +43,7 @@ PEAK_HBM_BYTES = 819e9
 
 
 def _measure(production: bool, warm_chunks: int = 20, n_chunks: int = 8,
-             trace_dir=None):
+             trace_dir=None, use_mesh: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -51,15 +51,32 @@ def _measure(production: bool, warm_chunks: int = 20, n_chunks: int = 8,
     from lsenerf_tpu.utils.tpu_retry import with_tpu_retry
 
     trainer, state = _flagship(tiny=False, production=production)
+
+    # --mesh: the identical protocol data-parallel over ALL local devices
+    # (rays sharded, params replicated, XLA gradient psum) — on a real
+    # multi-chip slice this is the published scale-out path, unmodified.
+    mesh = None
+    if use_mesh:
+        from lsenerf_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh()
+        mesh_lib.round_rays_to_mesh(trainer.dm.config, mesh)
+        state = mesh_lib.replicate(state, mesh)
+        trainer._occ_update = trainer.make_occ_update(mesh=mesh)
+        print(f"mesh over {mesh.devices.size} devices", file=sys.stderr)
+
     train_steps = trainer.make_train_step_multi(SCAN_K)
     occ_update = trainer._occ_update
     rays_per_step = trainer.dm.config.train_num_rays_per_batch
 
     def chunk(state, step):
-        batches = {
-            k: jnp.asarray(v)
-            for k, v in trainer.dm.next_train_stack(step, SCAN_K).items()
-        }
+        raw = trainer.dm.next_train_stack(step, SCAN_K)
+        if mesh is not None:
+            from lsenerf_tpu.parallel import mesh as mesh_lib
+
+            batches = mesh_lib.shard_batch_stacked(raw, mesh)
+        else:
+            batches = {k: jnp.asarray(v) for k, v in raw.items()}
         state = occ_update(state)
         return train_steps(state, batches)
 
@@ -128,13 +145,22 @@ def main():
         action="store_true",
         help="only measure the flagship config (faster turnaround)",
     )
+    ap.add_argument(
+        "--mesh",
+        action="store_true",
+        help="run the identical protocol data-parallel over ALL local "
+        "devices (jax.sharding mesh; rays sharded, params replicated). On "
+        "a real multi-chip slice this measures the published scale-out "
+        "path unmodified.",
+    )
     args = ap.parse_args()
 
     from lsenerf_tpu.utils.tpu_retry import warmup
 
     warmup()
 
-    flag = _measure(production=False, trace_dir=args.trace)
+    flag = _measure(production=False, trace_dir=args.trace,
+                    use_mesh=args.mesh)
     record = {
         "metric": "train_rays_per_sec",
         "value": round(flag["rays_per_sec"], 1),
@@ -151,9 +177,15 @@ def main():
         if k in flag:
             record[k] = flag[k]
 
+    if args.mesh:
+        import jax
+
+        record["mesh_devices"] = len(jax.devices())
+
     if not args.skip_production:
         try:
-            prod = _measure(production=True, warm_chunks=12, n_chunks=6)
+            prod = _measure(production=True, warm_chunks=12, n_chunks=6,
+                            use_mesh=args.mesh)
             record["production_rays_per_sec"] = round(prod["rays_per_sec"], 1)
         except Exception as e:  # noqa: BLE001 — headline must still print
             print(f"production bench failed: {type(e).__name__}: {e}",

@@ -150,6 +150,11 @@ class ModelCLI:
     max_coarse_segments: int = 24
     supergrid_matmul: bool = True
     compact_chunk: int = 0
+    # proposal-guided sample relocation: evaluate the field at this many
+    # inverse-CDF-placed samples per ray instead of max_samples uniform
+    # slots (ops/march.proposal_resample). 0 = off.
+    proposal_samples: int = 0
+    proposal_uniform_frac: float = 0.2
     disable_scene_contraction: bool = False
     background_color: str = "random"
     # TPU-first defaults, matching the published bench: bf16 compute/gather
@@ -456,6 +461,8 @@ def build_runtime_configs(config: ExperimentConfig):
         max_coarse_segments=m.max_coarse_segments,
         supergrid_matmul=m.supergrid_matmul,
         packed_phase2=m.packed_phase2,
+        proposal_samples=m.proposal_samples,
+        proposal_uniform_frac=m.proposal_uniform_frac,
         grad_overflow_telemetry=m.grad_overflow_telemetry,
         compact_chunk=m.compact_chunk,
         background_color=m.background_color,

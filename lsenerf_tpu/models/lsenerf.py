@@ -65,6 +65,14 @@ class ModelConfig:
     # gathers per segment instead of coarse_factor per-midpoint gathers;
     # see ops/march.MarchConfig.packed_phase2)
     packed_phase2: bool = True
+    # proposal-guided sample relocation (ops/march.MarchConfig
+    # .proposal_samples): resample the max_samples occupancy-compacted
+    # candidates down to this many field evaluations per ray, placed by
+    # inverse-CDF over the occ grid's EMA densities. The step bottleneck
+    # (hash-gather rows) scales with samples/ray, so this is the primary
+    # throughput/quality knob. 0 = off (uniform placement over candidates).
+    proposal_samples: int = 0
+    proposal_uniform_frac: float = 0.2
     # evaluate the field only on chunks containing valid samples: samples are
     # validity-sorted and all-invalid chunks skipped via lax.cond — converts
     # occupancy-grid sparsity into real gather/FLOP savings despite the
@@ -133,6 +141,8 @@ class ModelConfig:
             max_coarse_segments=self.max_coarse_segments,
             supergrid_matmul=self.supergrid_matmul,
             packed_phase2=self.packed_phase2,
+            proposal_samples=self.proposal_samples,
+            proposal_uniform_frac=self.proposal_uniform_frac,
         )
 
 
@@ -194,8 +204,15 @@ def render_bundle(
     density = density.reshape(n, k, 1)
     rgb = rgb.reshape(n, k, 3)
 
+    # dynamic culling threshold: min(alpha_thre, occs.mean()) — nerfacc's
+    # rule (lse_grid_estimator.py:113). Early in training the EMA grid mean
+    # is high (optimistic init) so the static value rules; once the grid
+    # sparsifies the mean drops below it and culling relaxes with it.
+    alpha_thre = config.alpha_thre
+    if alpha_thre > 0.0:
+        alpha_thre = jnp.minimum(alpha_thre, jnp.mean(occ_state.occs))
     weights = composite.render_weights(
-        samples, density, config.alpha_thre, config.early_stop_eps
+        samples, density, alpha_thre, config.early_stop_eps
     )
     background = "linear"
     if train and rng is not None:

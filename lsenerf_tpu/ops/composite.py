@@ -8,8 +8,10 @@ sample axis — exactly what XLA fuses well.
 
 Semantics mirrored from the reference pipeline:
   - alpha-threshold culling before compositing (samples whose alpha is below
-    min(alpha_thre, mean occupancy) are treated as empty,
-    lse_grid_estimator.py:109-127)
+    the threshold are treated as empty, lse_grid_estimator.py:109-127; the
+    caller passes min(alpha_thre, occs.mean()) — models/lsenerf.render_bundle
+    threads the live grid mean in as a traced scalar, so early training with
+    a sparse-mean grid culls exactly like nerfacc)
   - early termination once transmittance drops below early_stop_eps (:115)
   - RGB/accumulation/depth renderers (lsenerf.py:197-199); depth is the
     "expected" variant, weights-normalized; LinearRenderer == no background
@@ -27,13 +29,18 @@ from lsenerf_tpu.cameras.rays import RaySamples
 def render_weights(
     samples: RaySamples,
     densities: jnp.ndarray,
-    alpha_thre: float = 0.0,
+    alpha_thre=0.0,
     early_stop_eps: float = 1e-4,
 ) -> jnp.ndarray:
     """(n, k, 1) densities -> (n, k) compositing weights.
 
     weights_i = alpha_i * prod_{j<i} (1 - alpha_j), with culled samples
     contributing neither opacity nor transmittance loss.
+
+    alpha_thre may be a Python float (static) or a traced scalar — the
+    dynamic `min(alpha_thre, occs.mean())` rule (nerfacc semantics,
+    lse_grid_estimator.py:113) passes the current grid mean in as a tracer;
+    the culling branch is compiled whenever the value is not a static 0.
     """
     # inf-safe masking: trunc_exp densities can overflow to inf once a
     # surface hardens (exp forward is unclamped, nerfstudio semantics);
@@ -44,7 +51,8 @@ def render_weights(
     sdt = sigma * delta
     alpha = 1.0 - jnp.exp(-sdt)
 
-    if alpha_thre > 0.0:
+    static_off = isinstance(alpha_thre, (int, float)) and alpha_thre <= 0.0
+    if not static_off:
         cull = alpha <= alpha_thre
         sdt = jnp.where(cull, 0.0, sdt)
         alpha = jnp.where(cull, 0.0, alpha)

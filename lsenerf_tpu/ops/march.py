@@ -86,6 +86,24 @@ class MarchConfig:
     # occupied — conservative: it can only ADD a candidate in possibly-empty
     # space (wasting a sample slot), never drop occupied geometry.
     packed_phase2: bool = True
+    # Proposal-guided sample relocation: after occupancy compaction fills the
+    # max_samples candidate slots, RESAMPLE them down to `proposal_samples`
+    # fine samples placed by inverse-CDF over a density proposal read from
+    # the occupancy grid's EMA values (the same sigma*step estimate nerfacc
+    # thresholds on). Field evaluations per ray drop from max_samples to
+    # proposal_samples — the per-ray hash-gather row count, which bounds the
+    # whole step on TPU (PERFORMANCE.md), scales with it. The quadrature
+    # stays consistent: each fine sample carries pdf-mass 1/F, so its
+    # interval width is (1/F)/pdf-density — bin widths sum to the occupied
+    # span in expectation (exactly, for a uniform proposal). Rays with fewer
+    # occupied candidates than F get SUB-candidate resolution (the budget
+    # subdivides the surface interval) — finer near-surface quadrature than
+    # the uniform placement it replaces. 0 disables (uniform placement).
+    proposal_samples: int = 0
+    # Fraction of proposal mass spread uniformly over all occupied candidates
+    # (defense against a stale/overconfident EMA: every occupied region keeps
+    # expected coverage >= uniform_frac * F / count samples).
+    proposal_uniform_frac: float = 0.2
 
 
 def ray_aabb_intersect(
@@ -193,6 +211,88 @@ def packed_segment_lookup(
         jnp.where(sup3 == sup3[..., -1:], pick_bit(rows1), True),
     )
     return occ_m.reshape(n, k1 * cf)
+
+
+def proposal_resample(
+    t_starts: jnp.ndarray,
+    t_ends: jnp.ndarray,
+    mask: jnp.ndarray,
+    occ_state: occ_lib.OccGridState,
+    o_ng: jnp.ndarray,
+    d_ng: jnp.ndarray,
+    config: MarchConfig,
+    occ_config: occ_lib.OccGridConfig,
+) -> tuple:
+    """Inverse-CDF relocation of the sample budget by the occ-EMA proposal.
+
+    (n, k) candidate intervals -> (n, F) fine intervals, F =
+    config.proposal_samples. The proposal density for candidate i is the
+    alpha implied by the grid's EMA value at its midpoint (EMA stores
+    max-decayed sigma*render_step, nerfacc units — occupancy.sampled_update),
+    blended with `proposal_uniform_frac` of uniform mass over all valid
+    candidates. Fine sample j sits at the t where the CDF crosses
+    (j+0.5)/F and carries interval width dt_bin/(F*pdf_bin) — the mass-1/F
+    quadrature rule, so per-bin widths total the bin width in expectation
+    (exactly for a uniform proposal). Entirely non-differentiable, like the
+    rest of the sample-placement pipeline (stop_gradient contract in
+    march_rays).
+
+    Replaces nothing in the reference (nerfacc evaluates EVERY occupied
+    candidate as a packed list); this is the TPU answer to the same budget
+    problem: the hash-table gather rows per ray — the measured step
+    bottleneck — scale with samples/ray, so relocating a smaller budget by
+    the grid's own density estimate buys throughput at matched quadrature.
+    """
+    n, k = t_starts.shape
+    F = config.proposal_samples
+    dt = t_ends - t_starts
+    mids = 0.5 * (t_starts + t_ends)
+    ema = occ_lib.ema_at_coords(
+        occ_state.occs,
+        o_ng[:, None, 0] + mids * d_ng[:, None, 0],
+        o_ng[:, None, 1] + mids * d_ng[:, None, 1],
+        o_ng[:, None, 2] + mids * d_ng[:, None, 2],
+        occ_config,
+    )  # (n, k)
+    # alpha implied by the EMA density over this (stride-widened) interval.
+    # NOT transmittance-weighted: the optimistic EMA init would otherwise
+    # concentrate every sample at the front of the ray before the field has
+    # learned anything (EMA=1 != field density early in training); plain
+    # occupancy mass degrades gracefully to uniform there.
+    tau = ema * dt / config.render_step_size
+    alpha = 1.0 - jnp.exp(-tau)
+    w = jnp.where(mask, alpha, 0.0)
+    count = jnp.sum(mask, axis=1, keepdims=True)
+    valid = count > 0
+    uni = jnp.where(mask, 1.0, 0.0) / jnp.maximum(count, 1).astype(t_starts.dtype)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    lam = config.proposal_uniform_frac
+    pdf = jnp.where(
+        wsum > 1e-12,
+        (1.0 - lam) * w / jnp.maximum(wsum, 1e-12) + lam * uni,
+        uni,
+    )
+    cdf = jnp.cumsum(pdf, axis=1)  # (n, k), ~1 at the last valid candidate
+    u = (jnp.arange(F, dtype=t_starts.dtype) + 0.5) / F  # (F,)
+    # stratified inverse CDF: bin index where the CDF first exceeds u
+    idx = jnp.sum(
+        (u[None, :, None] > cdf[:, None, :]).astype(jnp.int32), axis=-1
+    )  # (n, F), nondecreasing in j
+    idx = jnp.minimum(idx, k - 1)
+
+    def take(a):
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    t0_s, dt_s, pdf_s = take(t_starts), take(dt), take(pdf)
+    cdf_prev = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=1)
+    frac = jnp.clip(
+        (u[None, :] - take(cdf_prev)) / jnp.maximum(pdf_s, 1e-12), 0.0, 1.0
+    )
+    t_c = t0_s + frac * dt_s
+    dt_f = dt_s / jnp.maximum(pdf_s * F, 1e-12)
+    mask_f = jnp.broadcast_to(valid, (n, F))
+    dt_f = jnp.where(mask_f, dt_f, 0.0)
+    return t_c - 0.5 * dt_f, t_c + 0.5 * dt_f, mask_f
 
 
 def march_rays(
@@ -378,6 +478,11 @@ def march_rays(
     t_starts, t_ends = picked[..., 0], picked[..., 1]
     count = jnp.sum(sel, axis=1)  # (n,)
     mask = jnp.arange(k)[None, :] < count[:, None]
+
+    if 0 < config.proposal_samples < k:
+        t_starts, t_ends, mask = proposal_resample(
+            t_starts, t_ends, mask, occ_state, o_ng, d_ng, config, occ_config
+        )
 
     # rebuild positions from the DIFFERENTIABLE origins/directions
     t_mid = jax.lax.stop_gradient(0.5 * (t_starts + t_ends))

@@ -104,6 +104,15 @@ def occupancy_at_coords(state: OccGridState, x, y, z, config: OccGridConfig):
     return _grid_lookup(state.binaries, x, y, z, config)
 
 
+def ema_at_coords(occs: jnp.ndarray, x, y, z, config: OccGridConfig):
+    """Level-selecting EMA-density lookup into the (levels, R, R, R) float
+    grid — the march's proposal-resampling signal (nerfacc units: the EMA
+    stores max-decayed sigma * render_step_size, see sampled_update)."""
+    R = occs.shape[-1]
+    flat = _flat_cell_index(x, y, z, R, config)
+    return jnp.take(occs.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+
+
 def _cell_coords(x, y, z, R: int, config: OccGridConfig):
     """Level-selecting cell coordinates: (lvl, ix, iy, iz), each int32 of the
     common broadcast shape. Single source of truth for the level-selection +

@@ -39,6 +39,12 @@ VARIANTS = {
     "acc_256_64": {"LSENERF_ACC_WINDOW": "256", "LSENERF_ACC_BW": "64"},
     "acc_128_128": {"LSENERF_ACC_WINDOW": "128", "LSENERF_ACC_BW": "128"},
     "acc_1024_16": {"LSENERF_ACC_WINDOW": "1024", "LSENERF_ACC_BW": "16"},
+    # proposal-guided sample relocation (round 4): field evals/ray drop from
+    # max_samples=48 to F, placed by inverse-CDF over the occ EMA
+    "proposal_32": {"LSENERF_PROPOSAL": "32"},
+    "proposal_24": {"LSENERF_PROPOSAL": "24"},
+    "proposal_16": {"LSENERF_PROPOSAL": "16"},
+    "proposal_12": {"LSENERF_PROPOSAL": "12"},
 }
 
 

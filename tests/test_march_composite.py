@@ -140,6 +140,124 @@ def test_march_position_gradients_flow_to_origins():
     assert float(jnp.abs(g).max()) > 0  # positions differentiable w.r.t. origins
 
 
+MARCH_PROP = march.MarchConfig(
+    render_step_size=0.02, near_plane=0.05, far_plane=100.0, cone_angle=0.004,
+    max_samples=32, max_candidates=256, proposal_samples=12,
+)
+
+
+def test_proposal_uniform_ema_preserves_quadrature():
+    """With a UNIFORM EMA the proposal pdf is uniform over the valid
+    candidates, and the mass-1/F interval rule makes the fine dts sum
+    EXACTLY to the candidate span (each fine dt = dt * count / F)."""
+    state = occ_lib.init_occ_grid(SMALL_GRID)
+    state = occ_lib.OccGridState(
+        occs=jnp.full_like(state.occs, 0.5), binaries=jnp.ones_like(state.binaries)
+    )
+    bundle = make_bundle(
+        [[-3.0, 0.0, 0.0], [-3.0, 0.2, 0.1]], [[1.0, 0.0, 0.0], [1.0, 0.05, 0.0]]
+    )
+    base = march.march_rays(bundle, state, SMALL_GRID, MARCH)
+    prop = march.march_rays(bundle, state, SMALL_GRID, MARCH_PROP)
+    assert prop.mask.shape == (2, 12)
+    assert bool(prop.mask.all())
+    span_base = np.asarray(
+        jnp.sum(jnp.where(base.mask, base.t_ends - base.t_starts, 0.0), axis=1)
+    )
+    span_prop = np.asarray(jnp.sum(prop.t_ends - prop.t_starts, axis=1))
+    np.testing.assert_allclose(span_prop, span_base, rtol=1e-5)
+    # fine midpoints are sorted along the ray
+    mids = np.asarray(0.5 * (prop.t_starts + prop.t_ends))
+    assert (np.diff(mids, axis=1) >= -1e-6).all()
+    # and all lie within the candidate span
+    t0 = np.asarray(base.t_starts)[np.asarray(base.mask, bool)].min()
+    t1 = np.asarray(base.t_ends)[np.asarray(base.mask, bool)].max()
+    assert (mids >= t0 - 1e-5).all() and (mids <= t1 + 1e-5).all()
+
+
+def test_proposal_concentrates_at_high_ema():
+    """A high-EMA slab inside an otherwise low-EMA occupied span should
+    attract the non-uniform share of the samples."""
+    R = SMALL_GRID.resolution
+    occs = jnp.full((SMALL_GRID.levels, R, R, R), 1e-3)
+    # level-0 grid covers [-1,1]^3: mark x in [0.25, 0.5) hot (cells 10..11)
+    occs = occs.at[0, 10:12, :, :].set(10.0)
+    state = occ_lib.OccGridState(occs=occs, binaries=occs > 0)  # all occupied
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+    cfg = march.MarchConfig(
+        render_step_size=0.02, near_plane=0.05, far_plane=100.0,
+        cone_angle=0.0, max_samples=32, max_candidates=256,
+        proposal_samples=16, proposal_uniform_frac=0.2,
+    )
+    s = march.march_rays(bundle, state, SMALL_GRID, cfg)
+    mids = np.asarray(0.5 * (s.t_starts + s.t_ends))[0]
+    xs = -3.0 + mids
+    in_slab = ((xs >= 0.25) & (xs < 0.5)).sum()
+    # the slab is a small fraction of the occupied span but the hot EMA
+    # should pull well over half the samples into it
+    assert in_slab >= 8, (in_slab, xs)
+
+
+def test_proposal_empty_ray_masked():
+    state = occ_lib.init_occ_grid(SMALL_GRID)
+    state = occ_lib.OccGridState(
+        occs=jnp.zeros_like(state.occs), binaries=jnp.zeros_like(state.binaries)
+    )
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+    s = march.march_rays(bundle, state, SMALL_GRID, MARCH_PROP)
+    assert not bool(s.mask.any())
+    assert bool(jnp.isfinite(s.t_starts).all() & jnp.isfinite(s.t_ends).all())
+
+
+def test_proposal_subdivides_single_candidate():
+    """A ray with ONE occupied candidate gets the full fine budget spread
+    inside that interval (sub-candidate-resolution quadrature)."""
+    R = SMALL_GRID.resolution
+    occs = jnp.zeros((SMALL_GRID.levels, R, R, R))
+    occs = occs.at[0, 12, 8, 8].set(1.0)  # one fine cell at x~0.5-0.625
+    state = occ_lib.OccGridState(occs=occs, binaries=occs > 0)
+    bundle = make_bundle([[-3.0, 0.0625, 0.0625]], [[1.0, 0.0, 0.0]])
+    cfg = march.MarchConfig(
+        render_step_size=0.02, near_plane=0.05, far_plane=100.0,
+        cone_angle=0.0, max_samples=32, max_candidates=256,
+        proposal_samples=8, hierarchical=False,
+    )
+    base_cfg = march.MarchConfig(
+        render_step_size=0.02, near_plane=0.05, far_plane=100.0,
+        cone_angle=0.0, max_samples=32, max_candidates=256,
+        hierarchical=False,
+    )
+    base = march.march_rays(bundle, state, SMALL_GRID, base_cfg)
+    n_cand = int(np.asarray(base.mask).sum())
+    s = march.march_rays(bundle, state, SMALL_GRID, cfg)
+    assert bool(s.mask.all())
+    mids = np.asarray(0.5 * (s.t_starts + s.t_ends))[0]
+    # all 8 fine samples inside the candidate span, strictly increasing
+    tb = np.asarray(base.t_starts)[np.asarray(base.mask, bool)]
+    te = np.asarray(base.t_ends)[np.asarray(base.mask, bool)]
+    assert (mids >= tb.min() - 1e-5).all() and (mids <= te.max() + 1e-5).all()
+    if n_cand < 8:
+        assert (np.diff(mids) > 0).all()  # genuinely subdivided
+    # widths sum to the candidate span (uniform pdf over the few candidates)
+    np.testing.assert_allclose(
+        float((s.t_ends - s.t_starts).sum()), float((te - tb).sum()), rtol=1e-5
+    )
+
+
+def test_proposal_gradients_flow_to_origins():
+    state = occ_lib.init_occ_grid(SMALL_GRID)
+    bundle = make_bundle([[-3.0, 0.0, 0.0]], [[1.0, 0.0, 0.0]])
+
+    def f(origins):
+        b = bundle.replace(origins=origins)
+        s = march.march_rays(b, state, SMALL_GRID, MARCH_PROP)
+        return jnp.sum(s.positions * s.mask[..., None])
+
+    g = jax.grad(f)(bundle.origins)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
+
+
 def test_weights_analytic_constant_density():
     """Uniform density sigma over [0, L]: total weight = 1 - exp(-sigma*L)."""
     k = 32
@@ -217,6 +335,85 @@ def test_weights_inf_density_stays_finite():
         lambda d: composite.render_weights(mk(mask), d, 0.0, 0.0).sum()
     )(jnp.where(jnp.isinf(dens), 1e4, dens))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_weights_dynamic_alpha_threshold():
+    """nerfacc rule (lse_grid_estimator.py:113): the effective cull threshold
+    is min(alpha_thre, occs.mean()). On a sparse-mean grid (early training)
+    a sample whose alpha sits between the grid mean and the static threshold
+    must SURVIVE — the static-0.01 rule would wrongly cull it."""
+    k = 8
+    t = jnp.linspace(0.0, 1.0, k + 1)
+    samples = RaySamples(
+        positions=jnp.zeros((1, k, 3)),
+        directions=jnp.zeros((1, k, 3)),
+        t_starts=t[None, :-1],
+        t_ends=t[None, 1:],
+        mask=jnp.ones((1, k), bool),
+    )
+    # alpha per sample = 1 - exp(-sigma/k); pick sigma so alpha ~ 0.005
+    sigma = -k * np.log(1 - 0.005)
+    dens = jnp.full((1, k, 1), sigma)
+    # static threshold 0.01 culls everything
+    w_static = composite.render_weights(samples, dens, 0.01, 0.0)
+    assert float(w_static.sum()) == 0.0
+    # dynamic min(0.01, mean=0.001): alpha 0.005 > 0.001 survives
+    w_dyn = composite.render_weights(samples, dens, jnp.minimum(0.01, 0.001), 0.0)
+    w_none = composite.render_weights(samples, dens, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(w_dyn), np.asarray(w_none), rtol=1e-6)
+    # traced threshold culls identically to the same static value
+    w_tr = composite.render_weights(samples, dens, jnp.float32(0.01), 0.0)
+    np.testing.assert_allclose(np.asarray(w_tr), np.asarray(w_static))
+
+
+def test_model_threads_grid_mean_into_alpha_thre():
+    """render_bundle passes min(config.alpha_thre, occ.occs.mean()): with a
+    nearly-empty EMA grid (tiny mean) the sub-threshold surface must render;
+    with a saturated grid (mean >> alpha_thre) it must be culled."""
+    from lsenerf_tpu.models import lsenerf as model_lib
+    from lsenerf_tpu.models import field as field_lib
+    from lsenerf_tpu.ops import hash_encoding as he
+    from lsenerf_tpu.cameras.rays import RayBundle
+
+    cfg = model_lib.ModelConfig(
+        field=field_lib.FieldConfig(
+            hash=he.HashEncodingConfig(
+                num_levels=2, log2_hashmap_size=8, base_res=4, max_res=8
+            ),
+            use_contraction=False,
+        ),
+        grid=SMALL_GRID,
+        render_step_size=0.1,
+        max_samples=16,
+        max_candidates=64,
+        far_plane=8.0,
+        alpha_thre=0.9,  # absurdly high static threshold
+        early_stop_eps=0.0,
+    ).normalized()
+    params = model_lib.init_model(jax.random.PRNGKey(0), cfg)
+    n = 4
+    bundle = RayBundle(
+        origins=jnp.tile(jnp.array([[-3.0, 0.0, 0.0]]), (n, 1)),
+        directions=jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1)),
+        pixel_area=jnp.ones((n, 1)),
+        camera_indices=jnp.zeros((n, 1), jnp.int32),
+        metadata={"appearance_id": jnp.zeros((n,), jnp.int32)},
+    )
+    base = occ_lib.init_occ_grid(SMALL_GRID)
+    # grid A: binaries all on, EMA mean tiny -> dynamic threshold ~ 1e-4,
+    # so even soft densities composite to weight > 0
+    lo = occ_lib.OccGridState(
+        occs=jnp.full_like(base.occs, 1e-4), binaries=jnp.ones_like(base.binaries)
+    )
+    out_lo = model_lib.render_bundle(params, bundle, lo, cfg, train=False)
+    # grid B: binaries all on, EMA mean saturated -> threshold = 0.9 and the
+    # (randomly-initialized, soft) field alphas are all culled
+    hi = occ_lib.OccGridState(
+        occs=jnp.ones_like(base.occs), binaries=jnp.ones_like(base.binaries)
+    )
+    out_hi = model_lib.render_bundle(params, bundle, hi, cfg, train=False)
+    assert float(out_hi["accumulation"].max()) == 0.0
+    assert float(out_lo["accumulation"].max()) > 0.0
 
 
 def test_render_rgb_backgrounds():
