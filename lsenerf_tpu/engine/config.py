@@ -152,8 +152,10 @@ class ModelCLI:
     compact_chunk: int = 0
     # proposal-guided sample relocation: evaluate the field at this many
     # inverse-CDF-placed samples per ray instead of max_samples uniform
-    # slots (ops/march.proposal_resample). 0 = off.
-    proposal_samples: int = 0
+    # slots (ops/march.proposal_resample). Default 16: 2.1x step throughput
+    # at equal-or-better golden quality (PERFORMANCE.md round 4); set 0 to
+    # disable (reference-style evaluate-every-occupied-candidate placement).
+    proposal_samples: int = 16
     proposal_uniform_frac: float = 0.2
     disable_scene_contraction: bool = False
     background_color: str = "random"

@@ -250,7 +250,11 @@ class Trainer:
         cam_params = {"col": {}, "evs": {}}
         cc, ec = self.config.col_cam_opt, self.config.evs_cam_opt
         if cc.optim_type == "spline":
-            cam_params["col"] = self.col_spline_params
+            # fresh buffers per setup(): the train step DONATES its state, so
+            # handing out the trainer-owned init arrays by reference would
+            # leave a second setup() (re-init, sharded-vs-single A/B) holding
+            # deleted buffers after the first step runs
+            cam_params["col"] = jax.tree.map(jnp.array, self.col_spline_params)
         elif cc.mode != "off" and self.dm.col is not None:
             cam_params["col"] = pose_opt.init_pose_deltas(len(self.dm.col.cameras))
         if self.dm.evs is not None and ec.optim_type != "spline":

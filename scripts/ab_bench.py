@@ -24,7 +24,9 @@ warmup()
 SCAN_K = 16
 
 VARIANTS = {
-    "baseline": {},
+    # proposal relocation became the default (F=16) in round 4; pin the
+    # historical 48-uniform-slot baseline explicitly so deltas stay comparable
+    "baseline": {"LSENERF_PROPOSAL": "0"},
     "dense_fwd_3375": {"LSENERF_DENSE_FWD": "4096"},   # levels 0-2 via MXU
     "dense_fwd_9261": {"LSENERF_DENSE_FWD": "16383"},  # levels 0-3 via MXU
     "supergrid_matmul": {"LSENERF_SUPERGRID_MATMUL": "1"},  # march phase 1

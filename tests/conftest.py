@@ -21,5 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persist XLA:CPU compiles across runs — the flagship-shape programs
+# (tests/test_parallel_flagship.py, the multichip dryrun) take minutes to
+# compile and dominate suite wall time on this 1-core box
+_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "jax"
+)
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
