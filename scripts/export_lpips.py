@@ -62,5 +62,63 @@ def main(out_path: str = "lpips_alex.npz") -> None:
     print(f"wrote {out_path}: " + ", ".join(sorted(out)))
 
 
+ALEXNET_SHAPES = {
+    # (out, in, kh, kw) of torchvision AlexNet features / LPIPS lin heads —
+    # what a correct export MUST contain (torchmetrics' pretrained backbone,
+    # reference lsenerf.py:205-207)
+    "conv0_w": (64, 3, 11, 11),
+    "conv1_w": (192, 64, 5, 5),
+    "conv2_w": (384, 192, 3, 3),
+    "conv3_w": (256, 384, 3, 3),
+    "conv4_w": (256, 256, 3, 3),
+    "lin0_w": (1, 64, 1, 1),
+    "lin1_w": (1, 192, 1, 1),
+    "lin2_w": (1, 384, 1, 1),
+    "lin3_w": (1, 256, 1, 1),
+    "lin4_w": (1, 256, 1, 1),
+    "shift": (1, 3, 1, 1),
+    "scale": (1, 3, 1, 1),
+}
+
+
+def verify(npz_path: str) -> None:
+    """Validate an exported .npz OFFLINE (no torch needed): key/shape audit
+    against the AlexNet-LPIPS layout, non-negative lin heads (LPIPS clamps
+    them), then a JAX forward smoke: identical images -> 0, noise pair ->
+    finite positive. Run this after copying the file onto the TPU host:
+
+        python scripts/export_lpips.py --verify assets/lpips_alex.npz
+    """
+    data = dict(np.load(npz_path))
+    for k, want in ALEXNET_SHAPES.items():
+        assert k in data, f"missing key {k}"
+        got = tuple(data[k].shape)
+        assert got == want, f"{k}: shape {got}, want {want}"
+    for i in range(5):
+        b = data[f"conv{i}_b"]
+        assert b.shape == (ALEXNET_SHAPES[f"conv{i}_w"][0],), f"conv{i}_b"
+        assert (data[f"lin{i}_w"] >= 0).all(), f"lin{i}_w has negative weights"
+
+    import os.path as osp
+    import sys as _sys
+
+    _sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+    from lsenerf_tpu.ops import metrics as metric_ops
+
+    m = metric_ops.LPIPSMetric(npz_path)
+    assert m.available
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    b = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    same = m(a, a)
+    diff = m(a, b)
+    assert abs(same) < 1e-5, f"lpips(a,a)={same}"
+    assert np.isfinite(diff) and diff > 1e-3, f"lpips(a,b)={diff}"
+    print(f"verify OK: {npz_path} (lpips(a,a)={same:.2e}, lpips(a,b)={diff:.4f})")
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    if len(sys.argv) > 1 and sys.argv[1] == "--verify":
+        verify(sys.argv[2] if len(sys.argv) > 2 else "assets/lpips_alex.npz")
+    else:
+        main(*sys.argv[1:2])

@@ -45,9 +45,13 @@ def collect(hlo_text: str) -> dict:
         if not m or "=" not in line:
             continue
         kind = m.group(1)
-        # the result shape(s) are on the lhs of "="
-        lhs = line.split("=")[0]
-        for dt, dims in SHAPE_RE.findall(lhs):
+        # HLO text: `%name = f32[...]{...} all-reduce(...)` — the RESULT
+        # shape sits between "=" and the op name; operand shapes (inside the
+        # parens) must not be counted. The regex needs the trailing "(" so it
+        # matches the op invocation, not the `%all-reduce.N` result name.
+        eq = line.index("=")
+        result_seg = line[eq + 1 : m.start()]
+        for dt, dims in SHAPE_RE.findall(result_seg):
             if dt not in DTYPE_BYTES:
                 continue
             n = 1
@@ -72,8 +76,12 @@ def report(name: str, hlo_text: str, scan_k: int = 1) -> int:
         # largest 5
         for dt, dims, b in sorted(items, key=lambda t: -t[2])[:5]:
             print(f"    {dt}[{dims}]  {b/1e6:.3f} MB")
-    per_step = total / scan_k
-    print(f"  TOTAL {total/1e6:.2f} MB{f' ({per_step/1e6:.2f} MB/step)' if scan_k > 1 else ''}")
+    # NOTE: counts are STATIC (HLO text): ops inside a lax.scan body print
+    # once but execute once PER STEP — so a scan-K chunk whose totals match
+    # the single-step program confirms the collectives live in the body and
+    # the single-step total IS the per-step traffic.
+    print(f"  TOTAL {total/1e6:.2f} MB"
+          f"{' (static count; xK if inside the scan body)' if scan_k > 1 else ''}")
     return total
 
 
@@ -127,11 +135,11 @@ def main():
     # numbers; treat as +-2x).
     ici_bw = 1.8e11
     n = 8
-    per_step = chunk_bytes / args.scan if chunk_bytes else step_bytes
+    per_step = step_bytes  # the scan body repeats this traffic every step
     ar_time_ms = 2 * (n - 1) / n * per_step / ici_bw * 1e3
     print(f"\nICI model (v5e-8, ring): {per_step/1e6:.1f} MB/step ->"
-          f" ~{ar_time_ms:.2f} ms/step all-reduce"
-          f" (vs ~61 ms measured single-chip step)")
+          f" ~{ar_time_ms:.2f} ms/step of collective traffic"
+          f" (vs ~29 ms measured single-chip step at proposal-16)")
     occ_amort = occ_bytes / 16 / 1e6
     print(f"occ update collective: {occ_bytes/1e6:.2f} MB per update"
           f" ({occ_amort:.2f} MB/step amortized at interval 16)")
