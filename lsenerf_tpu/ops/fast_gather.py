@@ -39,6 +39,62 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# --- data-parallel partitioning of the table backward -----------------------
+#
+# Under GSPMD alone, the global `lax.sort` inside the windowed backward forces
+# the partitioner to ALL-GATHER the per-sample factors and run the whole
+# table-gradient computation replicated on every device (measured:
+# scripts/psum_accounting.py — ~81 MB/step of sample-shaped all-gathers and
+# zero sharding of the backward compute). The computation is per-row
+# decomposable (any partition of the update stream accumulates to partials
+# that psum to the exact total), so when a DP mesh is registered the backward
+# runs via shard_map: each device sorts/accumulates only ITS rows and one
+# table-sized psum replaces the gathers. Registered, not inferred: the mesh
+# must be known at TRACE time of the train step (parallel/mesh.dp_backward or
+# set_dp_mesh before the first sharded call).
+
+_DP_MESH: dict = {"mesh": None, "axis": None}
+
+
+def set_dp_mesh(mesh, axis: str = "data") -> None:
+    """Register (or clear, with mesh=None) the data-parallel mesh used to
+    shard-map the table backward. Affects subsequently TRACED steps only."""
+    _DP_MESH["mesh"] = mesh
+    _DP_MESH["axis"] = axis if mesh is not None else None
+
+
+def dp_mesh_active() -> bool:
+    return _DP_MESH["mesh"] is not None
+
+
+def dp_accumulate(body, *args):
+    """body(*per_sample_arrays) -> table-shaped gradient.
+
+    With no registered mesh (or shapes that don't split evenly) this is just
+    body(*args). With a mesh: shard the sample axis, run body per-shard, and
+    psum the partials — exact up to f32 reassociation, because windowed
+    accumulation is order/partition independent. The per-window overflow cap
+    then applies per SHARD (cap scales with the local mean, so the >factor-x
+    hot-spot contract is unchanged)."""
+    mesh, axis = _DP_MESH["mesh"], _DP_MESH["axis"]
+    if mesh is None:
+        return body(*args)
+    size = int(mesh.shape[axis])
+    n0 = args[0].shape[0]
+    if size <= 1 or any(a.shape[0] != n0 for a in args) or n0 % size != 0:
+        return body(*args)
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        lambda *xs: jax.lax.psum(body(*xs), axis),
+        mesh=mesh,
+        in_specs=tuple(P(axis) for _ in args),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
 def sorted_window_accumulate(
     idx: jnp.ndarray,
     grads: jnp.ndarray,
@@ -244,7 +300,10 @@ def _take_cols_bwd(res, g):
     if _use_windowed_bwd(idx.shape[0]):
         # payload sorted/matmul'd in the table dtype (bf16 halves traffic);
         # the one-hot matmul still accumulates in float32
-        dt = sorted_window_accumulate(idx, g.T.astype(table.dtype), LT)
+        dt = dp_accumulate(
+            lambda i, gg: sorted_window_accumulate(i, gg, LT),
+            idx, g.T.astype(table.dtype),
+        )
         return dt.T.astype(table.dtype), None
     return jnp.zeros_like(table).at[:, idx].add(g.astype(table.dtype)), None
 
@@ -290,7 +349,10 @@ def _take_rows_blocked_bwd(res, g):
     idx, table = res
     T, W = table.shape
     if _use_windowed_bwd(idx.shape[0]):
-        dt = sorted_window_accumulate(idx, g.astype(table.dtype), T, window=128)
+        dt = dp_accumulate(
+            lambda i, gg: sorted_window_accumulate(i, gg, T, window=128),
+            idx, g.astype(table.dtype),
+        )
         return dt.astype(table.dtype), None
     return jnp.zeros_like(table).at[idx].add(g.astype(table.dtype)), None
 

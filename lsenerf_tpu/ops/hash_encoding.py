@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lsenerf_tpu.ops import fast_gather
 from lsenerf_tpu.ops.fast_gather import (
     sorted_window_accumulate_factored,
     take_cols,
@@ -499,9 +500,17 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             # max_updates_factor=3 is safe once the dense prefix is removed:
             # remaining (hashed/uniform) levels have near-Poisson density per
             # key, so a 3x-mean window cap needs a >3x hot spot to overflow
-            parts.append(
-                sorted_window_accumulate_factored(
-                    keys_h, factors_h, make_rows, Wrow,
+            # under a registered DP mesh the accumulate runs shard_map'd
+            # (each device sorts its slice of the update stream, one psum of
+            # the table partials) — segment boundaries don't survive the
+            # slice, so the segmented-sort variant falls back to one sort
+            presorted = L - dense_L if config.segmented_sort else 1
+            if fast_gather.dp_mesh_active():
+                presorted = 1
+
+            def acc_hashed(k, *fs):
+                return sorted_window_accumulate_factored(
+                    k, fs, make_rows, Wrow,
                     total_rows - dense_total,
                     out_dtype=jnp.float32,
                     window=config.accum_window,
@@ -510,10 +519,11 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                     # keys_h is level-major with increasing per-level row
                     # offsets: per-level batched sorts concatenated == the
                     # global sort, at less bitonic depth
-                    presorted_segments=(
-                        L - dense_L if config.segmented_sort else 1
-                    ),
+                    presorted_segments=presorted,
                 )
+
+            parts.append(
+                fast_gather.dp_accumulate(acc_hashed, keys_h, *factors_h)
             )
         dtab = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return dtab.astype(table.dtype), dpos

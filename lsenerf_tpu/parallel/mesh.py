@@ -38,7 +38,16 @@ def replicate(tree, mesh: Mesh):
     Multi-host: every process must hold the same host values (deterministic
     init from the same seed guarantees this); each contributes its local copy
     and the result is one global fully-replicated jax.Array per leaf.
+
+    Also registers the mesh as the data-parallel mesh for the hash-table
+    backward (ops/fast_gather.set_dp_mesh): steps traced after this point
+    shard-map the sorted-window accumulate — each device sorts only its rows
+    and one table psum replaces GSPMD's replicated-backward all-gathers
+    (scripts/psum_accounting.py measured ~81 MB/step of them).
     """
+    from lsenerf_tpu.ops import fast_gather
+
+    fast_gather.set_dp_mesh(mesh, mesh.axis_names[0])
     sharding = NamedSharding(mesh, P())
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)

@@ -91,8 +91,19 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("_LSENERF_DRYRUN_CHILD", "1")
+    # Accounting only makes sense on a multi-device mesh; force the virtual
+    # 8-CPU mesh regardless of env (this box's sitecustomize overrides
+    # JAX_PLATFORMS to the axon TPU backend, so env vars alone don't stick —
+    # jax.config wins over both, same pattern as tests/conftest.py).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
 
     from __graft_entry__ import _flagship
     from lsenerf_tpu.parallel import mesh as mesh_lib

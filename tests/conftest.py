@@ -31,3 +31,16 @@ os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clear_dp_mesh():
+    """parallel.mesh.replicate registers a process-global DP mesh for the
+    shard-mapped table backward; clear it between tests so single-device
+    tests never trace against a mesh some earlier test registered."""
+    yield
+    from lsenerf_tpu.ops import fast_gather
+
+    fast_gather.set_dp_mesh(None)
