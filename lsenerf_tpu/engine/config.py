@@ -170,6 +170,11 @@ class ModelCLI:
     # fewer gathers per sample) or "ngp" (reference-exact per-vertex hash)
     hash_layout: str = "blocked"
     packed_phase2: bool = True
+    # strided coarse-level sampling: encode hash levels [0, coarse_levels)
+    # at every coarse_stride-th sample per ray and lerp in t between anchors
+    # (models/field.field_apply_strided). 1 = off (exact plain path).
+    coarse_stride: int = 1
+    coarse_levels: int = 4
     # windowed-backward overflow counter surfaced as a train metric
     grad_overflow_telemetry: bool = False
 
@@ -449,6 +454,8 @@ def build_runtime_configs(config: ExperimentConfig):
                 is_eval=config.is_eval,
             ),
             compute_dtype=m.compute_dtype,
+            coarse_stride=m.coarse_stride,
+            coarse_levels=m.coarse_levels,
         ),
         grid=occ_lib.OccGridConfig(
             resolution=m.grid_resolution,

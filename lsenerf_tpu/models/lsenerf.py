@@ -196,6 +196,14 @@ def render_bundle(
             params["field"], positions, directions, app_ids,
             samples.mask.reshape(-1), config, train,
         )
+    elif config.field.coarse_stride > 1 and k > config.field.coarse_stride:
+        # strided coarse-level encoding needs the (n, k) ray structure, so
+        # it rides the non-compact branch (compact_chunk permutes samples)
+        t_mid = 0.5 * (samples.t_starts + samples.t_ends)
+        density, rgb = field_lib.field_apply_strided(
+            params["field"], samples.positions, t_mid, directions, app_ids,
+            config.field, train=train,
+        )
     else:
         density, rgb = field_lib.field_apply(
             params["field"], positions, directions, app_ids,

@@ -119,14 +119,32 @@ class HashEncodingConfig:
     # matmul FLOPs (n x rows x 64). 0 disables (plain gather for all
     # levels).
     dense_fwd_rows: int = 0
+    # Active level window [level_lo, level_hi) of the full ladder
+    # (level_hi=0 means num_levels). Grid geometry (scalings, row offsets,
+    # table shape, gradient shape) stays GLOBAL, so for any split point C
+    # concat(encode[0:C], encode[C:L]) == encode[0:L] exactly, forward and
+    # backward. Used by the strided coarse-level sampling path
+    # (models/field.field_apply_strided): coarse levels vary over >=4
+    # samples (round-3 scripts/measure_dedup.py: distinct-key fraction 0.23
+    # at level 0), so they are encoded at ray anchors only and lerped along
+    # the sample axis while fine levels keep the full rate.
+    level_lo: int = 0
+    level_hi: int = 0
 
     @property
     def table_size(self) -> int:
         return 2**self.log2_hashmap_size
 
     @property
+    def active_range(self) -> tuple:
+        """(lo, hi) of the active level window; hi=0 means num_levels."""
+        hi = self.level_hi if self.level_hi > 0 else self.num_levels
+        return self.level_lo, hi
+
+    @property
     def out_dim(self) -> int:
-        return self.num_levels * self.features_per_level
+        lo, hi = self.active_range
+        return (hi - lo) * self.features_per_level
 
     @property
     def blocked_row_width(self) -> int:
@@ -161,8 +179,11 @@ def _dense_level_count(config: HashEncodingConfig) -> int:
     unconditionally — dense keys are spatially correlated and can exceed any
     per-window update cap in the sorted path (silent gradient drops).
     dense_grad_rows can only WIDEN the prefix (testing/oracle use);
-    dense_grad_rows=0 used to disable the path entirely, kept for tests."""
-    level_rows = config.blocked_level_rows()
+    dense_grad_rows=0 used to disable the path entirely, kept for tests.
+
+    Counts within the ACTIVE level window (level_lo:level_hi)."""
+    lo, hi = config.active_range
+    level_rows = config.blocked_level_rows()[lo:hi]
     if config.dense_grad_rows <= 0:
         return 0
     n_hash = 2**config.blocked_rows_log2
@@ -243,16 +264,21 @@ def _hash_corners(cx, cy, cz, log2_size: int) -> jnp.ndarray:
 def _blocked_keys_fracs(positions: jnp.ndarray, config: HashEncodingConfig):
     """(n, 3) positions -> global row keys (L, n) + per-dim (parity o, frac w),
     each (L, n). Shared by the autodiff and factored-backward paths."""
-    L = config.num_levels
+    lo, hi = config.active_range
     n_hash = 2**config.blocked_rows_log2
 
-    scalings = jnp.asarray(config.scalings(), jnp.float32)[:, None]  # (L,1)
-    res_i = jnp.asarray(config.scalings().astype(np.int64), jnp.int32)[:, None]
-    bdims = jnp.asarray(config.blocked_level_bdims(), jnp.int32)[:, None]
-    level_rows = config.blocked_level_rows()
+    scalings = jnp.asarray(config.scalings()[lo:hi], jnp.float32)[:, None]  # (L,1)
+    res_i = jnp.asarray(
+        config.scalings().astype(np.int64)[lo:hi], jnp.int32
+    )[:, None]
+    bdims = jnp.asarray(config.blocked_level_bdims()[lo:hi], jnp.int32)[:, None]
+    level_rows_full = config.blocked_level_rows()
+    level_rows = level_rows_full[lo:hi]
     dense_mask = jnp.asarray(level_rows < n_hash)[:, None]  # (L,1) bool
+    # row offsets stay GLOBAL into the full table
     offsets = jnp.asarray(
-        np.concatenate([[0], np.cumsum(level_rows)[:-1]]).astype(np.int32)
+        np.concatenate([[0], np.cumsum(level_rows_full)[:-1]])
+        .astype(np.int32)[lo:hi]
     )[:, None]  # (L,1)
 
     px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
@@ -289,7 +315,8 @@ def _dim_weights(o, w):
 
 def _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config):
     """(m, Wrow) gathered rows + per-dim fracs -> (n, L*F) features."""
-    L, F = config.num_levels, config.features_per_level
+    lo, hi = config.active_range
+    L, F = hi - lo, config.features_per_level
     rowsT = rows.T.astype(jnp.float32)  # (Wrow, m) — sample axis minor
     rows27 = rowsT[: 27 * F].reshape(27, F, L * n)
     ux, uy, uz = _dim_weights(ox, wx), _dim_weights(oy, wy), _dim_weights(oz, wz)
@@ -311,10 +338,15 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         factors ride the sort, and rows are rebuilt inside each window of
         sorted_window_accumulate_factored right before the one-hot matmul.
     """
-    L, F = config.num_levels, config.features_per_level
+    lo, hi = config.active_range
+    L, F = hi - lo, config.features_per_level
     Wrow = config.blocked_row_width
-    total_rows = int(config.blocked_level_rows().sum())
-    scalings_np = config.scalings().astype(np.float32)
+    level_rows_full = config.blocked_level_rows()
+    total_rows = int(level_rows_full.sum())
+    # global row span of the active level window [lo, hi)
+    start_rows = int(level_rows_full[:lo].sum())
+    end_rows = int(level_rows_full[:hi].sum())
+    scalings_np = config.scalings().astype(np.float32)[lo:hi]
     pdt = jnp.bfloat16 if config.gather_dtype == "bfloat16" else jnp.float32
 
     use_pallas = config.combine_impl == "pallas"
@@ -323,7 +355,7 @@ def _blocked_fast_fn(config: HashEncodingConfig):
 
         use_pallas = pallas_combine.available()
 
-    level_rows_np = config.blocked_level_rows()
+    level_rows_np = level_rows_full[lo:hi]
     fwd_dense_L = (
         int(np.searchsorted(level_rows_np, config.dense_fwd_rows + 1))
         if config.dense_fwd_rows > 0
@@ -336,7 +368,7 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         if fwd_dense_L == 0:
             return jnp.take(gtable, keys.reshape(-1), axis=0)
         parts = []
-        row_off = 0
+        row_off = start_rows
         for lev in range(fwd_dense_L):
             rl = int(level_rows_np[lev])
             onehot = (
@@ -464,15 +496,15 @@ def _blocked_fast_fn(config: HashEncodingConfig):
 
         # Dense-prefix levels: exact one-hot matmul per level (no sort, no
         # per-window cap). blocked_level_rows is nondecreasing, so the
-        # qualifying levels are a prefix occupying the table's first
-        # `dense_total` rows.
-        level_rows = config.blocked_level_rows()
+        # qualifying ACTIVE levels are a prefix occupying the window's first
+        # `dense_total` rows (global rows [start_rows, start_rows+dense_total)).
+        level_rows = level_rows_np
         dense_L = _dense_level_count(config)
         dense_total = int(level_rows[:dense_L].sum())
         fac2 = tuple(f.reshape(L, n) for f in factors)
 
         parts = []
-        row_off = 0
+        row_off = start_rows
         for lev in range(dense_L):
             rl = int(level_rows[lev])
             rows_u = make_rows(tuple(f[lev] for f in fac2))  # (n, Wrow)
@@ -490,7 +522,7 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             row_off += rl
 
         if dense_L < L:
-            keys_h = keys[dense_L:].reshape(-1) - dense_total
+            keys_h = keys[dense_L:].reshape(-1) - (start_rows + dense_total)
             factors_h = tuple(f[dense_L:].reshape(-1) for f in fac2)
             # window/batch_windows tuned on-chip (scripts/tune_accumulate.py):
             # 512/16 measured 52.9 ms vs 72.0 ms at 128/8 (the lax.map
@@ -511,7 +543,7 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             def acc_hashed(k, *fs):
                 return sorted_window_accumulate_factored(
                     k, fs, make_rows, Wrow,
-                    total_rows - dense_total,
+                    end_rows - start_rows - dense_total,
                     out_dtype=jnp.float32,
                     window=config.accum_window,
                     batch_windows=config.accum_batch_windows,
@@ -525,6 +557,11 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             parts.append(
                 fast_gather.dp_accumulate(acc_hashed, keys_h, *factors_h)
             )
+        # inactive levels outside the window contribute zero table gradient
+        if start_rows:
+            parts.insert(0, jnp.zeros((start_rows, Wrow), jnp.float32))
+        if end_rows < total_rows:
+            parts.append(jnp.zeros((total_rows - end_rows, Wrow), jnp.float32))
         dtab = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return dtab.astype(table.dtype), dpos
 
@@ -584,8 +621,9 @@ def hash_encode(
     if config.layout == "blocked":
         return hash_encode_blocked(table, positions, config)
     n = positions.shape[0]
-    L, F, T = config.num_levels, config.features_per_level, config.table_size
-    scalings = jnp.asarray(config.scalings(), dtype=jnp.float32)  # (L,)
+    lo, hi = config.active_range
+    L, F, T = hi - lo, config.features_per_level, config.table_size
+    scalings = jnp.asarray(config.scalings()[lo:hi], dtype=jnp.float32)  # (L,)
 
     # sample-minor coordinate arrays: (L, n) per dimension
     px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
@@ -596,7 +634,7 @@ def hash_encode(
     wx, wy, wz = sx - fx_, sy - fy_, sz - fz_  # trilinear fracs (L, n)
     bx, by, bz = fx_.astype(jnp.int32), fy_.astype(jnp.int32), fz_.astype(jnp.int32)
 
-    level_offset = jnp.arange(L, dtype=jnp.int32)[:, None] * T  # (L, 1)
+    level_offset = (jnp.arange(L, dtype=jnp.int32)[:, None] + lo) * T  # (L, 1)
 
     idx_parts = []
     w_parts = []

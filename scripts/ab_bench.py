@@ -47,6 +47,11 @@ VARIANTS = {
     "proposal_24": {"LSENERF_PROPOSAL": "24"},
     "proposal_16": {"LSENERF_PROPOSAL": "16"},
     "proposal_12": {"LSENERF_PROPOSAL": "12"},
+    # strided coarse-level sampling (VERDICT r3 lever 1b): hash levels 0-3
+    # encoded at every S-th sample + lerped in t; composes with proposal-16
+    "coarse_stride_2": {"LSENERF_COARSE_STRIDE": "2"},
+    "coarse_stride_4": {"LSENERF_COARSE_STRIDE": "4"},
+    "coarse_stride_8": {"LSENERF_COARSE_STRIDE": "8"},
 }
 
 

@@ -193,3 +193,103 @@ def test_field_density_positions_grad():
     pos = jnp.array([[0.1, 0.2, 0.3], [-0.4, 0.0, 0.6]])
     g = jax.grad(lambda p: jnp.sum(field_lib.field_density(params, p, cfg)[0]))(pos)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_level_window_slices_compose_to_full_encode():
+    """concat(encode[0:C], encode[C:L]) == encode — forward AND both
+    gradients — for both table layouts (the invariant the strided
+    coarse-level path rests on)."""
+    from dataclasses import replace
+
+    for layout in ("blocked", "ngp"):
+        cfg = replace(SMALL_HASH, layout=layout, blocked_rows_log2=6)
+        tab = he.init_hash_table(jax.random.PRNGKey(0), cfg)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (23, 3))
+        full = he.hash_encode(tab, pos, cfg)
+        C, F = 2, cfg.features_per_level
+        lo_cfg, hi_cfg = replace(cfg, level_hi=C), replace(cfg, level_lo=C)
+        part = jnp.concatenate(
+            [he.hash_encode(tab, pos, lo_cfg), he.hash_encode(tab, pos, hi_cfg)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(np.asarray(full), np.asarray(part), rtol=0, atol=0)
+
+        g = jax.random.normal(jax.random.PRNGKey(2), full.shape)
+
+        def loss_full(t, p):
+            return jnp.sum(he.hash_encode(t, p, cfg) * g)
+
+        def loss_part(t, p):
+            a = he.hash_encode(t, p, lo_cfg) * g[:, : C * F]
+            b = he.hash_encode(t, p, hi_cfg) * g[:, C * F :]
+            return jnp.sum(a) + jnp.sum(b)
+
+        gt_f, gp_f = jax.grad(loss_full, argnums=(0, 1))(tab, pos)
+        gt_p, gp_p = jax.grad(loss_part, argnums=(0, 1))(tab, pos)
+        np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_p), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_p), atol=1e-5)
+
+
+def _ray_structured_inputs(n=4, k=9):
+    key = jax.random.PRNGKey(3)
+    o = jax.random.uniform(key, (n, 3), minval=-0.2, maxval=0.2)
+    d = jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ts = jnp.cumsum(
+        jax.random.uniform(jax.random.PRNGKey(5), (n, k), minval=0.05, maxval=0.2),
+        axis=1,
+    )
+    pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+    dirs = jnp.broadcast_to(d[:, None, :], pos.shape).reshape(-1, 3)
+    ids = jnp.zeros((n * k,), jnp.int32)
+    return pos, ts, dirs, ids
+
+
+def test_strided_field_stride1_is_exactly_the_plain_path():
+    """coarse_stride=1 anchors every sample, so the strided path must equal
+    field_apply bit-for-bit (w is 0 or 1 at anchors)."""
+    from dataclasses import replace as dc_replace
+
+    cfg = field_lib.FieldConfig(hash=SMALL_HASH, coarse_stride=1, coarse_levels=2)
+    params = field_lib.init_field(jax.random.PRNGKey(0), cfg)
+    pos, ts, dirs, ids = _ray_structured_inputs()
+    d0, c0 = field_lib.field_apply(params, pos.reshape(-1, 3), dirs, ids, cfg)
+    d1, c1 = field_lib.field_apply_strided(params, pos, ts, dirs, ids, cfg)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-6)
+
+
+def test_strided_field_constant_coarse_rows_exact_any_stride():
+    """With every coarse-level table row identical, coarse features are
+    position-independent, so lerp between anchors is EXACT at any stride —
+    isolates the approximation to exactly the coarse-level variation."""
+    cfg = field_lib.FieldConfig(hash=SMALL_HASH, coarse_stride=4, coarse_levels=2)
+    params = field_lib.init_field(jax.random.PRNGKey(0), cfg)
+    tab = params["hash_table"]
+    # blocked table is (rows, Wrow) f32; ngp is (F, L*T). SMALL_HASH default
+    # layout is ngp: flatten-constant the first coarse_levels levels
+    L, T = cfg.hash.num_levels, cfg.hash.table_size
+    tabc = tab.at[:, : 2 * T].set(0.125)
+    params = dict(params, hash_table=tabc)
+    pos, ts, dirs, ids = _ray_structured_inputs()
+    d0, c0 = field_lib.field_apply(params, pos.reshape(-1, 3), dirs, ids, cfg)
+    d1, c1 = field_lib.field_apply_strided(params, pos, ts, dirs, ids, cfg)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+
+
+def test_strided_field_grads_reach_all_params():
+    cfg = field_lib.FieldConfig(hash=SMALL_HASH, coarse_stride=3, coarse_levels=2)
+    params = field_lib.init_field(jax.random.PRNGKey(0), cfg)
+    pos, ts, dirs, ids = _ray_structured_inputs()
+
+    def loss(p, q):
+        d, c = field_lib.field_apply_strided(p, q, ts, dirs, ids, cfg)
+        return jnp.mean(d) + jnp.mean(c)
+
+    gp, gpos = jax.grad(loss, argnums=(0, 1))(params, pos)
+    for name in ("hash_table", "base_mlp", "color_mlp"):
+        leaf_max = max(float(jnp.abs(x).max()) for x in jax.tree.leaves(gp[name]))
+        assert leaf_max > 0, f"no gradient reaching {name}"
+    assert float(jnp.abs(gpos).max()) > 0
+    assert bool(jnp.all(jnp.isfinite(gpos)))
