@@ -52,6 +52,9 @@ VARIANTS = {
     "coarse_stride_2": {"LSENERF_COARSE_STRIDE": "2"},
     "coarse_stride_4": {"LSENERF_COARSE_STRIDE": "4"},
     "coarse_stride_8": {"LSENERF_COARSE_STRIDE": "8"},
+    # striding under the 48-uniform-slot sampler (proposal off): 3x the
+    # coarse redundancy of F=16 — the regime where the lever could still pay
+    "stride8_prop0": {"LSENERF_COARSE_STRIDE": "8", "LSENERF_PROPOSAL": "0"},
 }
 
 

@@ -15,7 +15,7 @@ import pytest
 from lsenerf_tpu.parallel import mesh as mesh_lib
 
 
-def _tiny_trainer():
+def _tiny_trainer(coarse_stride: int = 1):
     from lsenerf_tpu.data.datamanager import DataManagerConfig, MultiCamDataManager
     from lsenerf_tpu.data.synthetic import make_synthetic_scene
     from lsenerf_tpu.engine.trainer import CameraOptConfig, Trainer, TrainerConfig
@@ -30,6 +30,8 @@ def _tiny_trainer():
                 num_levels=4, log2_hashmap_size=10, base_res=8, max_res=64
             ),
             use_contraction=False,
+            coarse_stride=coarse_stride,
+            coarse_levels=2,
         ),
         grid=occ_lib.OccGridConfig(resolution=16, levels=1),
         max_samples=16,
@@ -117,6 +119,32 @@ def test_sharded_train_step_runs_and_matches_single_device():
     p1 = jax.tree_util.tree_leaves(state1.params)
     p8 = jax.tree_util.tree_leaves(state8.params)
     assert len(p1) == len(p8)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-6,
+        )
+
+
+def test_sharded_strided_field_matches_single_device():
+    """The strided coarse-level path under DP: anchor-gather + lerp must
+    shard over rays like the plain path (its table backward still rides
+    dp_accumulate for hashed levels), so sharded == single-device."""
+    trainer, state = _tiny_trainer(coarse_stride=2)
+    mesh = mesh_lib.make_mesh(8)
+    mesh_lib.round_rays_to_mesh(trainer.dm.config, mesh)
+
+    batch = trainer.dm.next_train(0)
+    train_step = trainer.make_train_step()
+    state_r = mesh_lib.replicate(trainer.setup(jax.random.PRNGKey(0)), mesh)
+
+    state1, metrics1 = train_step(state, jax.device_put(batch))
+    loss1 = float(metrics1["loss"])
+    assert np.isfinite(loss1)
+    state8, metrics8 = train_step(state_r, mesh_lib.shard_batch(batch, mesh))
+    assert float(metrics8["loss"]) == pytest.approx(loss1, rel=1e-5)
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p8 = jax.tree_util.tree_leaves(state8.params)
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),

@@ -128,6 +128,28 @@ def test_rgb_only_training_converges(scene):
     assert -10 * np.log10(mse) > 12
 
 
+def test_strided_coarse_training_converges(scene):
+    """Strided coarse-level sampling (coarse_stride>1) is an approximation —
+    assert it still trains to near the plain path's quality on the same
+    short protocol as test_rgb_only_training_converges."""
+    dm_cfg = DataManagerConfig(train_num_rays_per_batch=512, rgb_frac=1.0)
+    tr_cfg = TrainerConfig(
+        fields_optimizer=OptimizerGroupConfig(lr=1e-2, lr_final=1e-3, max_steps=2000),
+    )
+    cfg = tiny_model_config()
+    from dataclasses import replace
+
+    cfg = replace(
+        cfg, field=replace(cfg.field, coarse_stride=4, coarse_levels=3)
+    )
+    trainer, state, history, metrics = run_short_training(
+        scene, cfg, tr_cfg, dm_cfg, steps=200
+    )
+    first_psnr, last_psnr = history[0]["psnr"], float(metrics["psnr"])
+    assert last_psnr > first_psnr + 3, f"PSNR {first_psnr} -> {last_psnr}"
+    assert last_psnr > 14
+
+
 def test_event_supervised_training(scene):
     dm_cfg = DataManagerConfig(train_num_rays_per_batch=512, rgb_frac=0.5)
     tr_cfg = TrainerConfig(
