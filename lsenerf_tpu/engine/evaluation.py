@@ -160,7 +160,8 @@ def average_eval_metrics(
         print(
             "[eval] LPIPS weights not found — metric omitted. Export once "
             "with scripts/export_lpips.py (needs torchvision) to "
-            "assets/lpips_alex.npz or set $LSENERF_LPIPS_WEIGHTS."
+            "assets/lpips_alex.npz (+ .sha256 pin) or set "
+            "$LSENERF_LPIPS_WEIGHTS; see README 'LPIPS weights'."
         )
 
     cams = eval_dataset.cameras

@@ -76,6 +76,20 @@ class FieldConfig:
     coarse_stride: int = 1
     coarse_levels: int = 4
 
+    def __post_init__(self):
+        if self.coarse_stride > 1:
+            # coarse_levels=0 would collide with the level_hi=0 "all levels"
+            # sentinel (both encodes covering the full ladder -> doubled
+            # feature width); coarse_levels>=num_levels leaves the fine
+            # encode with zero levels (ADVICE r4).
+            if not 0 < self.coarse_levels < self.hash.num_levels:
+                raise ValueError(
+                    f"coarse_stride={self.coarse_stride} requires "
+                    f"0 < coarse_levels < num_levels "
+                    f"(got coarse_levels={self.coarse_levels}, "
+                    f"num_levels={self.hash.num_levels})"
+                )
+
 
 def init_field(key: jax.Array, config: FieldConfig, num_imgs: int = 1) -> dict:
     k_hash, k_base, k_color, k_emb = jax.random.split(key, 4)
@@ -137,7 +151,7 @@ def field_density(params: dict, positions: jnp.ndarray, config: FieldConfig):
 
 
 def _strided_encode(params: dict, unit: jnp.ndarray, ts: jnp.ndarray,
-                    config: FieldConfig):
+                    config: FieldConfig, selector: jnp.ndarray = None):
     """Hash features with coarse levels anchored at every coarse_stride-th
     sample and lerped in t between anchors.
 
@@ -147,6 +161,17 @@ def _strided_encode(params: dict, unit: jnp.ndarray, ts: jnp.ndarray,
     t=0 (ops/march.py one-hot compaction), so their lerp denominators go
     non-positive and the clip degrades to the left (valid) anchor — masked
     slots never contaminate valid ones.
+
+    selector: optional (n, k) in-bounds mask. contract_positions zeroes
+    out-of-bounds unit coords, so an OOB anchor would be hash-encoded at
+    the cube corner and its garbage features lerped into neighboring
+    in-bounds samples (reachable in aabb mode near the ray/aabb boundary —
+    the plain path confines that encode to the OOB sample itself, whose own
+    selector zeroes its density). The lerp weight is therefore snapped to
+    the VALID anchor when exactly one of the pair is out of bounds. A valid
+    sample between two invalid anchors keeps the (corner-encoded) lerp —
+    same degradation as before, only reachable when S exceeds the in-bounds
+    run length.
     """
     from dataclasses import replace as dc_replace
 
@@ -173,7 +198,12 @@ def _strided_encode(params: dict, unit: jnp.ndarray, ts: jnp.ndarray,
     w = jnp.where(
         denom > 1e-12, (ts - t_left) / jnp.where(denom > 1e-12, denom, 1.0), 0.0
     )
-    w = jnp.clip(w, 0.0, 1.0)[..., None].astype(feats_a.dtype)
+    w = jnp.clip(w, 0.0, 1.0)
+    if selector is not None:
+        sel_a = selector.reshape(n, k)[:, anchor_idx]  # (n, A) in-bounds
+        sl, sr = sel_a[:, seg], sel_a[:, seg + 1]  # (n, k)
+        w = jnp.where(sl & ~sr, 0.0, jnp.where(~sl & sr, 1.0, w))
+    w = w[..., None].astype(feats_a.dtype)
     feats_coarse = (1.0 - w) * feats_a[:, seg] + w * feats_a[:, seg + 1]
     return jnp.concatenate(
         [feats_coarse.reshape(n * k, -1), feats_fine], axis=-1
@@ -188,7 +218,9 @@ def field_density_strided(
     (n*k, 1) density and (n*k, geo) features like the plain path."""
     n, k, _ = positions.shape
     unit, selector = contract_positions(positions.reshape(-1, 3), config)
-    feats = _strided_encode(params, unit.reshape(n, k, 3), ts, config)
+    feats = _strided_encode(
+        params, unit.reshape(n, k, 3), ts, config, selector=selector
+    )
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     h = mlp.apply_mlp(params["base_mlp"], feats.astype(dtype)).astype(jnp.float32)
     density_before, geo = h[..., :1], h[..., 1:]

@@ -97,6 +97,19 @@ class ModelConfig:
     map_mode: str = "evs_rgb"  # evs_rgb | rgb_evs | co_map
     ev_one_dim: Optional[str] = "learned"  # learned | gt | None
 
+    def __post_init__(self):
+        # compact_chunk permutes samples so the strided coarse-level path
+        # (which needs the (n, k) ray structure) cannot compose with it; the
+        # compact branch would win silently and the striding knob would
+        # benchmark nothing (ADVICE r4).
+        if self.compact_chunk > 0 and self.field.coarse_stride > 1:
+            raise ValueError(
+                "compact_chunk > 0 and field.coarse_stride > 1 are mutually "
+                "exclusive: sample compaction destroys the per-ray sample "
+                "structure the strided coarse-level encode lerps over. "
+                "Disable one of the two."
+            )
+
     def normalized(self) -> "ModelConfig":
         """String-"None"/"False" cleanup (reference lsenerf.py:86-99)."""
         from dataclasses import replace

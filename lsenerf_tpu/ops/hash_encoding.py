@@ -130,6 +130,14 @@ class HashEncodingConfig:
     # the sample axis while fine levels keep the full rate.
     level_lo: int = 0
     level_hi: int = 0
+    # Mesh axis over which the table-gradient accumulate is shard-mapped
+    # (each device sorts/accumulates its slice of the update stream; one
+    # table psum replaces GSPMD's replicated-backward all-gathers). Takes
+    # effect iff the AMBIENT mesh (jax.set_mesh / parallel.mesh.activate,
+    # called by parallel.mesh.replicate) carries this axis with size > 1 at
+    # trace time — and jit keys its trace cache on the ambient mesh, so the
+    # decision can never go stale across calls. "" disables.
+    dp_axis: str = "data"
 
     @property
     def table_size(self) -> int:
@@ -532,12 +540,13 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             # max_updates_factor=3 is safe once the dense prefix is removed:
             # remaining (hashed/uniform) levels have near-Poisson density per
             # key, so a 3x-mean window cap needs a >3x hot spot to overflow
-            # under a registered DP mesh the accumulate runs shard_map'd
+            # under an ambient DP mesh the accumulate runs shard_map'd
             # (each device sorts its slice of the update stream, one psum of
             # the table partials) — segment boundaries don't survive the
             # slice, so the segmented-sort variant falls back to one sort
+            dp_axis = config.dp_axis or None
             presorted = L - dense_L if config.segmented_sort else 1
-            if fast_gather.dp_mesh_active():
+            if dp_axis is not None and fast_gather.dp_mesh_active(dp_axis):
                 presorted = 1
 
             def acc_hashed(k, *fs):
@@ -555,7 +564,9 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                 )
 
             parts.append(
-                fast_gather.dp_accumulate(acc_hashed, keys_h, *factors_h)
+                fast_gather.dp_accumulate(
+                    acc_hashed, keys_h, *factors_h, axis=dp_axis
+                )
             )
         # inactive levels outside the window contribute zero table gradient
         if start_rows:

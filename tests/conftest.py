@@ -36,11 +36,13 @@ import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True)
-def _clear_dp_mesh():
-    """parallel.mesh.replicate registers a process-global DP mesh for the
-    shard-mapped table backward; clear it between tests so single-device
-    tests never trace against a mesh some earlier test registered."""
+def _clear_ambient_mesh():
+    """parallel.mesh.replicate activates the AMBIENT mesh (jax.set_mesh)
+    that selects the shard-mapped table backward; reset it between tests so
+    single-device tests never trace under a mesh some earlier test set.
+    (jit keys its trace cache on the ambient mesh, so a stale mesh cannot
+    corrupt results — this is purely about exercising the intended path.)"""
     yield
-    from lsenerf_tpu.ops import fast_gather
+    from lsenerf_tpu.parallel import mesh as mesh_lib
 
-    fast_gather.set_dp_mesh(None)
+    mesh_lib.deactivate()

@@ -293,3 +293,69 @@ def test_strided_field_grads_reach_all_params():
         assert leaf_max > 0, f"no gradient reaching {name}"
     assert float(jnp.abs(gpos).max()) > 0
     assert bool(jnp.all(jnp.isfinite(gpos)))
+
+
+def test_strided_config_validation():
+    """ADVICE r4: coarse_levels must sit strictly inside the level ladder
+    when striding is on (0 collides with the level_hi=0 'all levels'
+    sentinel; >=num_levels leaves the fine encode empty)."""
+    import pytest
+
+    for bad in (0, SMALL_HASH.num_levels, SMALL_HASH.num_levels + 1):
+        with pytest.raises(ValueError, match="coarse_levels"):
+            field_lib.FieldConfig(
+                hash=SMALL_HASH, coarse_stride=2, coarse_levels=bad
+            )
+    # stride 1 (off): any coarse_levels value is inert and allowed
+    field_lib.FieldConfig(hash=SMALL_HASH, coarse_stride=1, coarse_levels=0)
+
+
+def test_compact_chunk_excludes_coarse_stride():
+    """ADVICE r4: compact_chunk would silently win over coarse_stride>1
+    (sample compaction destroys the ray structure the lerp needs)."""
+    import pytest
+
+    from lsenerf_tpu.models import lsenerf as model_lib
+
+    with pytest.raises(ValueError, match="mutually"):
+        model_lib.ModelConfig(
+            field=field_lib.FieldConfig(
+                hash=SMALL_HASH, coarse_stride=2, coarse_levels=2
+            ),
+            compact_chunk=4096,
+        )
+
+
+def test_strided_oob_anchor_does_not_contaminate_valid_samples():
+    """ADVICE r4: in aabb mode an out-of-bounds anchor is hash-encoded at
+    the zeroed cube corner; its features must NOT lerp into neighboring
+    in-bounds samples — the weight snaps to the valid anchor instead."""
+    cfg = field_lib.FieldConfig(
+        hash=SMALL_HASH, coarse_stride=4, coarse_levels=2,
+        use_contraction=False, aabb_scale=1.0,
+    )
+    params = field_lib.init_field(jax.random.PRNGKey(0), cfg)
+
+    # one ray marching out of the box along +x: k=9, stride 4 -> anchors at
+    # samples {0, 4, 8}; samples 0..7 (x in [-0.5, 0.9]) are inside the
+    # [-1, 1] box, sample/anchor 8 (x=1.1) is OOB — so sample 5's right
+    # anchor is OOB while sample 5 itself is valid.
+    k = 9
+    xs = jnp.linspace(-0.5, 1.1, k)  # box is [-1, 1]
+    pos = jnp.stack([xs, jnp.zeros(k), jnp.zeros(k)], axis=-1)[None]
+    ts = xs[None] + 1.0
+    dirs = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (k, 1))
+    ids = jnp.zeros((k,), jnp.int32)
+
+    unit, selector = field_lib.contract_positions(pos.reshape(-1, 3), cfg)
+    sel = np.asarray(selector).reshape(1, k)
+    assert sel[0, 5] and not sel[0, 8], "test geometry must straddle the box"
+
+    feats = field_lib._strided_encode(
+        params, unit.reshape(1, k, 3), ts, cfg, selector=selector
+    )
+    C_F = cfg.coarse_levels * cfg.hash.features_per_level
+    # snapped weight => sample 5's coarse features == anchor-4's exactly
+    np.testing.assert_allclose(
+        np.asarray(feats[5, :C_F]), np.asarray(feats[4, :C_F]), atol=1e-7
+    )

