@@ -207,17 +207,24 @@ def _run_phase(production: bool) -> dict:
 
 
 def _spawn_phase(phase: str, deadline_s: float, mesh: bool,
-                 trace: str | None) -> dict | None:
-    """Run `bench.py --phase <phase>` with a hard deadline; parse its JSON."""
+                 trace: str | None, stall_s: float | None = None) -> dict | None:
+    """Run `bench.py --phase <phase>` under two watchdogs: a hard deadline
+    AND a progress-stall limit — the child logs a stderr line at every
+    stage, and a remote-compiler hang (the observed failure: a random
+    compile wedges silently, ~50% of fresh processes on a bad day) stops
+    that stream. Killing at `stall_s` instead of the full deadline fits
+    more retry attempts into the driver budget."""
+    if stall_s is None:
+        stall_s = float(os.environ.get("LSENERF_BENCH_STALL", "200"))
     env = dict(os.environ)
     env["_BENCH_MESH"] = "1" if mesh else "0"
     if trace:
         env["_BENCH_TRACE"] = trace
-    # cap silent retry sleeps well inside the phase deadline
+    # cap silent retry sleeps well inside the stall watchdog
     env.setdefault("LSENERF_TPU_RETRY_ATTEMPTS", "3")
     env.setdefault("LSENERF_TPU_RETRY_COOLDOWN", "30")
     env.setdefault("LSENERF_TPU_RETRY_SLEEP_CAP", "60")
-    _log(f"phase {phase}: deadline {deadline_s:.0f}s")
+    _log(f"phase {phase}: deadline {deadline_s:.0f}s, stall kill {stall_s:.0f}s")
 
     def last_json(raw: bytes):
         for line in reversed((raw or b"").decode().splitlines()):
@@ -229,28 +236,60 @@ def _spawn_phase(phase: str, deadline_s: float, mesh: bool,
                     continue
         return None
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", phase],
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            stdout=subprocess.PIPE,
-            timeout=deadline_s,
-        )
-    except subprocess.TimeoutExpired as e:
-        # the child prints the headline JSON the moment it is measured, so a
-        # hang in the post-measurement diagnostics still yields the number
-        got = last_json(e.stdout)
+    import selectors
+
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase],
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ, "out")
+    sel.register(proc.stderr, selectors.EVENT_READ, "err")
+    stdout_buf = b""
+    t_start = last_progress = time.time()
+    open_streams = 2
+    why = None
+    while open_streams and why is None:
+        now = time.time()
+        if now - t_start > deadline_s:
+            why = f"DEADLINE EXCEEDED ({deadline_s:.0f}s)"
+            break
+        if now - last_progress > stall_s:
+            why = f"STALLED (no progress for {stall_s:.0f}s)"
+            break
+        for key, _ in sel.select(timeout=5.0):
+            chunk = key.fileobj.read1(65536)
+            if not chunk:
+                sel.unregister(key.fileobj)
+                open_streams -= 1
+                continue
+            last_progress = time.time()
+            if key.data == "out":
+                stdout_buf += chunk
+            else:
+                sys.stderr.buffer.write(chunk)  # tee child progress
+                sys.stderr.flush()
+    if why is not None:
+        proc.kill()
+        got = last_json(stdout_buf)
         if got is not None:
-            _log(f"phase {phase}: deadline hit AFTER measurement; "
+            # the child prints the headline JSON the moment it is measured,
+            # so a hang in post-measurement diagnostics still yields it
+            _log(f"phase {phase}: {why} AFTER measurement; "
                  "recovered partial result")
             return got
-        _log(f"phase {phase}: DEADLINE EXCEEDED ({deadline_s:.0f}s), killed")
+        _log(f"phase {phase}: {why}, killed")
+        proc.wait()
         return None
-    if proc.returncode != 0:
-        _log(f"phase {phase}: failed rc={proc.returncode}")
+    rc = proc.wait()
+    stdout_buf += proc.stdout.read() or b""
+    if rc != 0:
+        _log(f"phase {phase}: failed rc={rc}")
         return None
-    got = last_json(proc.stdout)
+    got = last_json(stdout_buf)
     if got is None:
         _log(f"phase {phase}: produced no JSON")
     return got

@@ -157,6 +157,14 @@ class ModelCLI:
     # disable (reference-style evaluate-every-occupied-candidate placement).
     proposal_samples: int = 16
     proposal_uniform_frac: float = 0.2
+    # Annealed-F schedule (VERDICT r4 #3 de-risking): run the first N steps
+    # with proposal OFF (all max_samples occupancy-compacted slots) before
+    # switching to proposal_samples. Early in training the occ grid's EMA
+    # densities are noise, which is exactly when inverse-CDF relocation is
+    # least trustworthy; the warmup trains placement-free until the grid
+    # converges (a few hundred steps), then takes the 2.1x step-rate. Costs
+    # one extra compile at the switch. 0 = off (proposal from step 0).
+    proposal_warmup_steps: int = 0
     disable_scene_contraction: bool = False
     background_color: str = "random"
     # TPU-first defaults, matching the published bench: bf16 compute/gather

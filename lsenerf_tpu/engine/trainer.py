@@ -415,6 +415,8 @@ class Trainer:
             self._check_dp_wiring(batch)
             return jitted(state, batch)
 
+        # expose lower() for HLO-inspection callers (scripts/psum_accounting)
+        train_step.lower = jitted.lower
         return train_step
 
     def make_train_step_multi(self, k: int):

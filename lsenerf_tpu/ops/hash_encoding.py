@@ -309,30 +309,67 @@ def _blocked_keys_fracs(positions: jnp.ndarray, config: HashEncodingConfig):
 
 def _dim_weights(o, w):
     """Per-dim weight over block-relative vertex slots {0,1,2}: a cube base
-    at parity o contributes (1-w) to slot o and w to slot o+1."""
-    o = o.astype(jnp.float32).reshape(-1)
-    w = w.reshape(-1)
+    at parity o contributes (1-w) to slot o and w to slot o+1.
+
+    Shape-agnostic: o/w of any (broadcast-compatible) shape -> (3, *shape).
+    Callers pass FLAT (u,) windows in the sorted backward but STRUCTURED
+    (L, n) arrays in the sharded encode — flattening here would merge the
+    unsharded level axis with the ray-sharded sample axis, which GSPMD
+    tiling cannot express and resolves by replicating (all-gathers of every
+    per-sample array, scripts/psum_accounting.py)."""
+    o = o.astype(jnp.float32)
+    w = w * jnp.ones_like(o)
     return jnp.stack(
         [
             (1.0 - w) * (1.0 - o),
             w * (1.0 - o) + (1.0 - w) * o,
             w * o,
         ]
-    )  # (3, m)
+    )  # (3, *shape)
 
 
 def _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config):
-    """(m, Wrow) gathered rows + per-dim fracs -> (n, L*F) features."""
+    """(m, Wrow) gathered rows + per-dim fracs -> (n, L*F) features.
+
+    Flat-m formulation, kept for the autodiff/oracle blocked path
+    (hash_encode_blocked) and probes; the custom-vjp fast path uses
+    _blocked_combine_struct, which keeps (L, n) axes for GSPMD."""
     lo, hi = config.active_range
     L, F = hi - lo, config.features_per_level
     rowsT = rows.T.astype(jnp.float32)  # (Wrow, m) — sample axis minor
     rows27 = rowsT[: 27 * F].reshape(27, F, L * n)
-    ux, uy, uz = _dim_weights(ox, wx), _dim_weights(oy, wy), _dim_weights(oz, wz)
+    ux = _dim_weights(ox.reshape(-1), wx.reshape(-1))
+    uy = _dim_weights(oy.reshape(-1), wy.reshape(-1))
+    uz = _dim_weights(oz.reshape(-1), wz.reshape(-1))
     w27 = (
         ux[:, None, None, :] * uy[None, :, None, :] * uz[None, None, :, :]
     ).reshape(27, 1, L * n)
     feats = (rows27 * w27).sum(axis=0)  # (F, m)
     return feats.reshape(F, L, n).transpose(2, 1, 0).reshape(n, L * F)
+
+
+def _blocked_combine_struct(rows, ox, wx, oy, wy, oz, wz, config):
+    """(L, n, Wrow) gathered rows + per-dim (L, n) fracs -> (n, L*F).
+
+    Level and sample stay REAL array axes end to end: under a DP mesh the
+    sample axis carries the batch's ray sharding, and any reshape that
+    merges it with the level axis is inexpressible in GSPMD tiling — the
+    partitioner replicates instead (measured: every per-sample (L, n) array
+    all-gathered, scripts/psum_accounting.py). Values are bit-identical to
+    the old flat-m formulation; only the axis bookkeeping differs."""
+    L, n, _ = rows.shape
+    F = config.features_per_level
+    rows27 = (
+        rows[..., : 27 * F].astype(jnp.float32)
+        .reshape(L, n, 27, F)
+        .transpose(2, 3, 0, 1)
+    )  # (27, F, L, n)
+    ux, uy, uz = _dim_weights(ox, wx), _dim_weights(oy, wy), _dim_weights(oz, wz)
+    w27 = (
+        ux[:, None, None] * uy[None, :, None] * uz[None, None, :]
+    ).reshape(27, 1, L, n)
+    feats = (rows27 * w27).sum(axis=0)  # (F, L, n)
+    return feats.transpose(2, 1, 0).reshape(n, L * F)
 
 
 @functools.lru_cache(maxsize=None)
@@ -371,10 +408,13 @@ def _blocked_fast_fn(config: HashEncodingConfig):
     )
 
     def gather_rows(gtable, keys):
-        """(L, n) keys -> (L*n, Wrow) rows. Small-table levels resolve via a
-        fused one-hot matmul (MXU) instead of the latency-bound row gather."""
+        """(L, n) keys -> (L, n, Wrow) rows. Small-table levels resolve via
+        a fused one-hot matmul (MXU) instead of the latency-bound row
+        gather. The (L, n) structure is preserved so the per-sample axis
+        keeps its ray sharding under a DP mesh (a flat (L*n,) gather would
+        force GSPMD to replicate the keys)."""
         if fwd_dense_L == 0:
-            return jnp.take(gtable, keys.reshape(-1), axis=0)
+            return jnp.take(gtable, keys, axis=0)
         parts = []
         row_off = start_rows
         for lev in range(fwd_dense_L):
@@ -389,11 +429,11 @@ def _blocked_fast_fn(config: HashEncodingConfig):
                     gtable[row_off : row_off + rl],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(gtable.dtype)
+                ).astype(gtable.dtype)  # (n, Wrow)
             )
             row_off += rl
-        rest = jnp.take(gtable, keys[fwd_dense_L:].reshape(-1), axis=0)
-        return jnp.concatenate(parts + [rest], axis=0)
+        rest = jnp.take(gtable, keys[fwd_dense_L:], axis=0)  # (L', n, Wrow)
+        return jnp.concatenate([jnp.stack(parts, axis=0), rest], axis=0)
 
     def fwd_core(table, positions):
         n = positions.shape[0]
@@ -401,17 +441,19 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         gtable = table
         if config.gather_dtype == "bfloat16":
             gtable = table.astype(jnp.bfloat16)
-        rows = gather_rows(gtable, keys)  # (m, Wrow)
+        rows = gather_rows(gtable, keys)  # (L, n, Wrow)
         if use_pallas:
             from lsenerf_tpu.ops import pallas_combine
 
             ex = (ox.astype(jnp.float32) + wx).reshape(-1)
             ey = (oy.astype(jnp.float32) + wy).reshape(-1)
             ez = (oz.astype(jnp.float32) + wz).reshape(-1)
-            feats = pallas_combine.combine(rows, ex, ey, ez, F)  # (F, m)
+            feats = pallas_combine.combine(
+                rows.reshape(L * n, Wrow), ex, ey, ez, F
+            )  # (F, m)
             out = feats.reshape(F, L, n).transpose(2, 1, 0).reshape(n, L * F)
         else:
-            out = _blocked_combine(rows, ox, wx, oy, wy, oz, wz, n, config)
+            out = _blocked_combine_struct(rows, ox, wx, oy, wy, oz, wz, config)
         # `table` rides along only for its dtype (param buffer, no copy)
         return out, (keys, rows, ox, wx, oy, wy, oz, wz, table)
 
@@ -427,10 +469,20 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         keys, rows, ox, wx, oy, wy, oz, wz, table = res
         n = g.shape[0]
         m = L * n
-        # cotangent in the level-major update order used by keys
-        gfeat = g.reshape(n, L, F).transpose(2, 1, 0).reshape(F, m)  # (F, m)
+        # cotangent in the level-major update order used by keys. The 3-D
+        # (F, L, n) form keeps the SAMPLE axis a real array dim: under a DP
+        # mesh the n axis carries the batch's ray sharding, and flattening
+        # (L, n) -> (L*n,) merges an unsharded-major with a sharded-minor
+        # dim — inexpressible in GSPMD tiling, so every consumer of a flat
+        # per-sample array forces an all-gather (measured 64.5 MB/step of
+        # [16,55936]-shaped gathers, scripts/psum_accounting.py). All
+        # shard_map-bound factors therefore stay (L, n); only the local
+        # position-grad math below uses the flat view.
+        gfeat3 = g.reshape(n, L, F).transpose(2, 1, 0)  # (F, L, n)
+        gfeat = gfeat3.reshape(F, m)  # (F, m) flat view (local math only)
 
         # ---- position gradients (through the trilinear weights) ----
+        # all math stays (.., L, n)-structured — see the gfeat3 note
         scal = jnp.asarray(scalings_np)[:, None]  # (L, 1)
         if use_pallas:
             from lsenerf_tpu.ops import pallas_combine
@@ -438,43 +490,48 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             ex = (ox.astype(jnp.float32) + wx).reshape(-1)
             ey = (oy.astype(jnp.float32) + wy).reshape(-1)
             ez = (oz.astype(jnp.float32) + wz).reshape(-1)
-            dw = pallas_combine.combine_bwd_dw(rows, gfeat, ex, ey, ez, F)
+            dw = pallas_combine.combine_bwd_dw(
+                rows.reshape(m, Wrow), gfeat, ex, ey, ez, F
+            )
             dpx = (dw[0].reshape(L, n) * scal).sum(axis=0)
             dpy = (dw[1].reshape(L, n) * scal).sum(axis=0)
             dpz = (dw[2].reshape(L, n) * scal).sum(axis=0)
         else:
-            rows27 = rows.T.astype(jnp.float32)[: 27 * F].reshape(27, F, m)
-            dw27 = (rows27 * gfeat[None]).sum(axis=1).reshape(3, 3, 3, m)
+            rows27 = (
+                rows[..., : 27 * F].astype(jnp.float32)
+                .reshape(L, n, 27, F)
+                .transpose(2, 3, 0, 1)
+            )  # (27, F, L, n)
+            dw27 = (rows27 * gfeat3[None]).sum(axis=1).reshape(3, 3, 3, L, n)
             ux, uy, uz = (
                 _dim_weights(ox, wx),
                 _dim_weights(oy, wy),
                 _dim_weights(oz, wz),
-            )
+            )  # (3, L, n)
             dux = (dw27 * uy[None, :, None] * uz[None, None, :]).sum(axis=(1, 2))
             duy = (dw27 * ux[:, None, None] * uz[None, None, :]).sum(axis=(0, 2))
             duz = (dw27 * ux[:, None, None] * uy[None, :, None]).sum(axis=(0, 1))
 
             def dw_of(du, o):
-                of = o.astype(jnp.float32).reshape(-1)
+                of = o.astype(jnp.float32)  # (L, n)
                 # du/dw rows over slots {o, o+1}: [-(1-o), (1-2o), o]
                 return (
                     -du[0] * (1.0 - of) + du[1] * (1.0 - 2.0 * of) + du[2] * of
                 )
 
-            dpx = (dw_of(dux, ox).reshape(L, n) * scal).sum(axis=0)
-            dpy = (dw_of(duy, oy).reshape(L, n) * scal).sum(axis=0)
-            dpz = (dw_of(duz, oz).reshape(L, n) * scal).sum(axis=0)
+            dpx = (dw_of(dux, ox) * scal).sum(axis=0)
+            dpy = (dw_of(duy, oy) * scal).sum(axis=0)
+            dpz = (dw_of(duz, oz) * scal).sum(axis=0)
         dpos = jnp.stack([dpx, dpy, dpz], axis=1)
 
         # ---- table gradient: factored sort + in-window row rebuild ----
         # parity rides the sign: e = o ? -(w+1) : w  (w in [0,1], so the
         # o=1 branch is <= -1 and never collides with -0.0)
         def enc(w, o):
-            w = w.reshape(-1)
-            o = o.reshape(-1).astype(bool)
-            return jnp.where(o, -(w + 1.0), w).astype(pdt)
+            return jnp.where(o.astype(bool), -(w + 1.0), w).astype(pdt)
 
-        factors = tuple(gfeat[f].astype(pdt) for f in range(F)) + (
+        # every factor keeps the (L, n) level/sample structure (see gfeat3)
+        factors = tuple(gfeat3[f].astype(pdt) for f in range(F)) + (
             enc(wx, ox), enc(wy, oy), enc(wz, oz),
         )
 
@@ -509,7 +566,7 @@ def _blocked_fast_fn(config: HashEncodingConfig):
         level_rows = level_rows_np
         dense_L = _dense_level_count(config)
         dense_total = int(level_rows[:dense_L].sum())
-        fac2 = tuple(f.reshape(L, n) for f in factors)
+        fac2 = factors  # already (L, n) per factor
 
         parts = []
         row_off = start_rows
@@ -530,8 +587,13 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             row_off += rl
 
         if dense_L < L:
-            keys_h = keys[dense_L:].reshape(-1) - (start_rows + dense_total)
-            factors_h = tuple(f[dense_L:].reshape(-1) for f in fac2)
+            # keep the (levels, n) structure: dp_accumulate shards dim=1 (the
+            # sample axis, which already carries the batch's ray sharding) so
+            # the shard_map consumes the incoming layout instead of forcing a
+            # level-chunk reshard (the r4 involuntary-remat pathology); each
+            # shard flattens its local block level-major
+            keys_h2 = keys[dense_L:] - (start_rows + dense_total)  # (Lh, n)
+            factors_h2 = tuple(f[dense_L:] for f in fac2)
             # window/batch_windows tuned on-chip (scripts/tune_accumulate.py):
             # 512/16 measured 52.9 ms vs 72.0 ms at 128/8 (the lax.map
             # iteration count dominates, not the per-window matmul);
@@ -542,30 +604,30 @@ def _blocked_fast_fn(config: HashEncodingConfig):
             # key, so a 3x-mean window cap needs a >3x hot spot to overflow
             # under an ambient DP mesh the accumulate runs shard_map'd
             # (each device sorts its slice of the update stream, one psum of
-            # the table partials) — segment boundaries don't survive the
-            # slice, so the segmented-sort variant falls back to one sort
+            # the table partials). The slice is along the SAMPLE axis of the
+            # (levels, n) factors, so per-level segment boundaries survive
+            # sharding and the segmented-sort variant composes with dp.
             dp_axis = config.dp_axis or None
             presorted = L - dense_L if config.segmented_sort else 1
-            if dp_axis is not None and fast_gather.dp_mesh_active(dp_axis):
-                presorted = 1
 
-            def acc_hashed(k, *fs):
+            def acc_hashed(k2, *f2):
                 return sorted_window_accumulate_factored(
-                    k, fs, make_rows, Wrow,
+                    k2.reshape(-1), tuple(f.reshape(-1) for f in f2),
+                    make_rows, Wrow,
                     end_rows - start_rows - dense_total,
                     out_dtype=jnp.float32,
                     window=config.accum_window,
                     batch_windows=config.accum_batch_windows,
                     max_updates_factor=3,
-                    # keys_h is level-major with increasing per-level row
-                    # offsets: per-level batched sorts concatenated == the
-                    # global sort, at less bitonic depth
+                    # the flattened keys are level-major with increasing
+                    # per-level row offsets: per-level batched sorts
+                    # concatenated == the global sort, at less bitonic depth
                     presorted_segments=presorted,
                 )
 
             parts.append(
                 fast_gather.dp_accumulate(
-                    acc_hashed, keys_h, *factors_h, axis=dp_axis
+                    acc_hashed, keys_h2, *factors_h2, axis=dp_axis, dim=1
                 )
             )
         # inactive levels outside the window contribute zero table gradient

@@ -47,6 +47,16 @@ VARIANTS = {
     "proposal_24": {"LSENERF_PROPOSAL": "24"},
     "proposal_16": {"LSENERF_PROPOSAL": "16"},
     "proposal_12": {"LSENERF_PROPOSAL": "12"},
+    # F-cliff sweep (VERDICT r4 #3): step time is not affine in F — 32->24
+    # bought 2 ms while 24->16 bought 19 ms, so some intermediate crosses a
+    # tiling/window quantum between 24 and 16. Bracket the cliff (18..22)
+    # and probe below the knee (13..15).
+    "proposal_22": {"LSENERF_PROPOSAL": "22"},
+    "proposal_20": {"LSENERF_PROPOSAL": "20"},
+    "proposal_18": {"LSENERF_PROPOSAL": "18"},
+    "proposal_15": {"LSENERF_PROPOSAL": "15"},
+    "proposal_14": {"LSENERF_PROPOSAL": "14"},
+    "proposal_13": {"LSENERF_PROPOSAL": "13"},
     # strided coarse-level sampling (VERDICT r3 lever 1b): hash levels 0-3
     # encoded at every S-th sample + lerped in t; composes with proposal-16
     "coarse_stride_2": {"LSENERF_COARSE_STRIDE": "2"},

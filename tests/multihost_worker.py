@@ -1,7 +1,7 @@
 """Subprocess worker for the 2-process multi-host smoke test.
 
 Run by tests/test_multihost.py, one instance per simulated host:
-    python multihost_worker.py <process_id> <coordinator_port>
+    python multihost_worker.py <process_id> <coordinator_port> [flagship]
 
 Each process owns 2 virtual CPU devices (4-device global mesh over Gloo
 collectives), samples its half of the global ray budget with a rank-offset
@@ -11,6 +11,15 @@ steps. It prints `loss0=<repr> loss1=<repr>` — the parent asserts both
 processes report identical losses, i.e. the global computation is consistent
 across hosts (the invariant the reference gets from DDP + NCCL,
 /root/reference/train.py:156-162,206-213).
+
+`flagship` mode (VERDICT r4 #6): 4 virtual devices per process (8-device
+global mesh — the same topology the scale-out projection uses) running the
+FULL flagship program (`__graft_entry__._flagship(production=True)`: 16-level
+2^19 hash table, 3512-ray batches, deblur x4 + spline) for ONE step, so the
+cross-host (DCN-analog) path is validated at real shapes, mirroring what
+tests/test_parallel_flagship.py does single-process. One step keeps it
+compile-dominated; the shared compilation cache (tests/conftest.py dir)
+makes repeats cheap. Prints `loss0=<repr> loss1=<repr>` with loss1==loss0.
 """
 
 import os
@@ -19,16 +28,30 @@ import sys
 
 def main() -> None:
     pid, port = int(sys.argv[1]), int(sys.argv[2])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    flagship = len(sys.argv) > 3 and sys.argv[3] == "flagship"
+    per_proc = 4 if flagship else 2
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={per_proc}"
+    )
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", False)
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "jax",
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
     )
-    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    assert jax.process_count() == 2 and len(jax.devices()) == 2 * per_proc
+
+    if flagship:
+        main_flagship()
+        return
 
     import numpy as np
 
@@ -89,6 +112,42 @@ def main() -> None:
 
     assert all(np.isfinite(l) for l in losses), losses
     print(f"loss0={losses[0]!r} loss1={losses[1]!r}", flush=True)
+
+
+def main_flagship() -> None:
+    """One flagship-shape train step on the 2-process 8-device mesh."""
+    import jax
+    import numpy as np
+
+    from lsenerf_tpu.parallel import mesh as mesh_lib
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from __graft_entry__ import _flagship
+
+    trainer, _ = _flagship(
+        tiny=False, production=True, dm_seed=jax.process_index()
+    )
+    mesh = mesh_lib.make_mesh()
+    mesh_lib.round_rays_to_mesh(trainer.dm.config, mesh)
+    assert trainer.dm.config.num_hosts == 2
+
+    state = mesh_lib.replicate(trainer.setup(jax.random.PRNGKey(0)), mesh)
+    train_step = trainer.make_train_step()
+
+    local = trainer.dm.next_train(0)
+    batch = mesh_lib.shard_batch(local, mesh)
+    # the global batch carries both hosts' halves at flagship width
+    n_col_global = trainer.dm.config.train_num_col_rays_per_batch
+    assert local["col_indices"].shape[0] == n_col_global // 2
+    assert batch["col_indices"].shape[0] == n_col_global
+
+    state, metrics = train_step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    # parent regex expects two losses; flagship runs one step, repeat it
+    print(f"loss0={loss!r} loss1={loss!r}", flush=True)
 
 
 if __name__ == "__main__":

@@ -124,3 +124,47 @@ def test_prevnext_drift_metrics_logged():
     if "prev" in state.params["camera_opt"].get("evs", {}):
         assert "camera_opt_translation_evs_prev" in metrics
         assert "camera_opt_rotation_evs_next" in metrics
+
+
+def test_annealed_proposal_phase_switch():
+    """Annealed-F (proposal_warmup_steps): phase 1 trains with proposal off,
+    the SAME TrainState then continues under the proposal-F trainer (state
+    shapes are F-independent), and the step counter stays continuous."""
+    import numpy as np
+    from dataclasses import replace as dc_replace
+
+    from lsenerf_tpu.engine.trainer import build_optimizer
+
+    col, evs = make_synthetic_scene(n_cams=4, h=16, w=16, focal=20.0)
+    dm = MultiCamDataManager(
+        DataManagerConfig(train_num_rays_per_batch=64, rgb_frac=0.66), col, evs
+    )
+    cfg_f = dc_replace(blocked_tiny_config(), proposal_samples=8)
+    tcfg = TrainerConfig(
+        col_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="ns"),
+        evs_cam_opt=CameraOptConfig(mode="SO3xR3", optim_type="ns"),
+    )
+    trainer_f = Trainer(tcfg, cfg_f, dm)
+    state = trainer_f.setup(jax.random.PRNGKey(0))
+
+    # phase 1: proposal off (train.py's warm_trainer adoption pattern)
+    warm = Trainer(tcfg, dc_replace(cfg_f, proposal_samples=0), dm)
+    warm._tx = build_optimizer(tcfg, state.params)
+    warm._train_step = warm.make_train_step()
+    warm._occ_update = warm.make_occ_update()
+    losses = []
+    state, m = warm.train(
+        state, num_steps=6, log_every=1,
+        callback=lambda s, scal: losses.append(scal["loss"]),
+    )
+    assert int(state.step) == 6
+
+    # phase 2: proposal-F continues from the same state
+    state, m = trainer_f.train(
+        state, num_steps=6, log_every=1,
+        callback=lambda s, scal: losses.append(scal["loss"]),
+    )
+    assert int(state.step) == 12
+    assert len(losses) == 12 and all(np.isfinite(l) for l in losses)
+    # training across the switch made progress overall
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])

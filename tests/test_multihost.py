@@ -29,15 +29,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_is_consistent():
+def _run_two_workers(mode_args, timeout):
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=REPO)
-    env.pop("XLA_FLAGS", None)  # worker sets its own 2-device flag
+    env.pop("XLA_FLAGS", None)  # worker sets its own device-count flag
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(port)],
+            [sys.executable, WORKER, str(pid), str(port), *mode_args],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -47,7 +46,7 @@ def test_two_process_training_is_consistent():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=timeout)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
@@ -58,5 +57,20 @@ def test_two_process_training_is_consistent():
         losses.append((float(m.group(1)), float(m.group(2))))
     # both hosts must observe the SAME global losses (replicated metrics)
     np.testing.assert_allclose(losses[0], losses[1], rtol=0, atol=0)
+    return losses
+
+
+@pytest.mark.slow
+def test_two_process_training_is_consistent():
+    losses = _run_two_workers([], timeout=600)
     # and training actually progressed between the two steps
     assert losses[0][0] != losses[0][1]
+
+
+@pytest.mark.slow
+def test_two_process_flagship_step():
+    """VERDICT r4 #6: the cross-host path at the REAL shapes the scale-out
+    projection uses — one step of the full flagship program (16-level 2^19
+    hash, 3512 rays, deblur x4 + spline) on a 2-process 8-device mesh."""
+    losses = _run_two_workers(["flagship"], timeout=2400)
+    assert np.isfinite(losses[0][0])

@@ -230,9 +230,7 @@ def main(argv=None):
     # RAY axis so dispatch amortization and data parallelism compose.
     from lsenerf_tpu.engine.loop import run_training_loop
 
-    state, _ = run_training_loop(
-        trainer, state,
-        num_steps=config.max_num_iterations,
+    loop_kwargs = dict(
         scan_steps=int(config.machine.scan_steps),
         mesh=mesh,
         eval_mesh=eval_mesh,
@@ -247,6 +245,54 @@ def main(argv=None):
         evs_only=(config.pipeline.datamanager.rgb_frac == 0),
         profile_dir=os.environ.get("LSENERF_PROFILE_DIR"),
     )
+
+    # Annealed-F (proposal_warmup_steps > 0): phase 1 trains placement-free
+    # (proposal off, all max_samples occupancy slots) while the occ EMA is
+    # still noise, then phase 2 switches to inverse-CDF proposal-F sampling.
+    # TrainState is config-independent (param/opt shapes don't depend on F),
+    # so the state carries across the recompile unchanged.
+    total = config.max_num_iterations
+    warmup_f = int(config.pipeline.model.proposal_warmup_steps)
+    start_step = int(state.step)
+    if (
+        warmup_f > 0
+        and model_cfg.proposal_samples > 0
+        and not config.is_eval
+        and not config.is_render
+        and start_step < warmup_f
+    ):
+        from dataclasses import replace as dc_replace
+
+        k1 = min(warmup_f - start_step, total)
+        warm_trainer = Trainer(
+            trainer_cfg,
+            dc_replace(model_cfg, proposal_samples=0),
+            dm,
+            eval_dataset=eval_ds,
+            all_cameras=all_cameras,
+        )
+        # adopt the existing state instead of warm_trainer.setup(): shapes
+        # are F-independent and a second on-device init is wasted (and a
+        # needless extra first-compile on flaky tunnels)
+        from lsenerf_tpu.engine.trainer import build_optimizer
+
+        warm_trainer._tx = build_optimizer(trainer_cfg, state.params)
+        warm_trainer._train_step = warm_trainer.make_train_step()
+        warm_trainer._occ_update = warm_trainer.make_occ_update(
+            mesh=mesh if mesh is not None else None
+        )
+        print(f"[lsenerf-tpu] proposal warmup: {k1} steps at "
+              f"max_samples={model_cfg.max_samples} uniform slots, then "
+              f"F={model_cfg.proposal_samples}")
+        state, _ = run_training_loop(
+            warm_trainer, state, num_steps=k1, **loop_kwargs
+        )
+        total -= k1
+
+    if total > 0:
+        state, _ = run_training_loop(
+            trainer, state, num_steps=total, **loop_kwargs
+        )
     logger.close()
     print("[lsenerf-tpu] done")
 
