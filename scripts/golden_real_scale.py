@@ -111,8 +111,13 @@ def main(argv=None):
         # trainer resume follows nerfstudio semantics (max_num_iterations
         # MORE steps from the restored step), so shrink the budget to land
         # the total at args.steps
+        # filename is the LAST COMPLETED step index (loop.py saves at
+        # `last`/`end-1`), so loaded+1 steps are done and resume continues
+        # at loaded+1. train_steps=0 is valid: train.py then runs the final
+        # full eval directly (the absolute-step eval-all cadence at
+        # args.steps can't re-fire inside an empty loop).
         loaded = int(osp.basename(latest_ckpt).rsplit("-", 1)[1])
-        train_steps = max(1, args.steps - loaded)
+        train_steps = max(0, args.steps - (loaded + 1))
         print(f"[golden] resuming from {latest_ckpt} "
               f"({train_steps} steps remain)", flush=True)
         resume = ["--load-checkpoint", latest_ckpt]

@@ -169,6 +169,38 @@ def test_eval_workflow(tmp_path, monkeypatch):
     assert "_eval_zero" in eval_runs[-1]
 
 
+def test_resume_zero_steps_runs_final_eval(tmp_path, monkeypatch):
+    """A resumed run whose checkpoint frontier already reached the target
+    (max-num-iterations 0) must still produce the end-of-run full eval —
+    the absolute-step eval-all cadence can't re-fire inside an empty loop
+    (golden_real_scale.py resume contract)."""
+    monkeypatch.chdir(tmp_path)
+    run_dir = run_train(tmp_path)
+    ckpts = sorted(glob.glob(osp.join(run_dir, "checkpoints", "step-*")))
+    assert ckpts
+    out_dir = str(tmp_path / "resume_out")
+    train_cli.main(
+        [
+            "lsenerf",
+            "--data", "synthetic",
+            "--max-num-iterations", "0",
+            "--load-checkpoint", ckpts[-1],
+            "--steps-per-save", "1000000",
+            "--steps-per-eval-all-images", "1000000",
+            "--pipeline.datamanager.train_num_rays_per_batch", "128",
+            "--pipeline.datamanager.rgb_frac", "1.0",
+            "--output-dir", out_dir,
+            *TINY_MODEL_FLAGS,
+        ]
+    )
+    evals = glob.glob(
+        osp.join(out_dir, "**", "eval_mean.json"), recursive=True
+    )
+    assert evals, "zero-step resume produced no eval_mean.json"
+    means = json.load(open(evals[-1]))
+    assert "psnr" in means and np.isfinite(means["psnr"])
+
+
 @pytest.mark.slow
 def test_emb_eval_pretrain_stage(tmp_path, monkeypatch):
     """emb_eval stage 1: per-frame embeddings + do_pretrain learns ONLY the

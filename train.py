@@ -293,6 +293,24 @@ def main(argv=None):
         state, _ = run_training_loop(
             trainer, state, num_steps=total, **loop_kwargs
         )
+    elif eval_ds is not None and not config.is_render:
+        # zero remaining steps (e.g. a resumed run whose checkpoint frontier
+        # already reached the target): the end-of-run full eval is the
+        # deliverable, and the absolute-step eval-all cadence can no longer
+        # fire inside the (empty) loop — run it directly
+        from lsenerf_tpu.engine import evaluation
+
+        means = with_tpu_retry(
+            evaluation.average_eval_metrics,
+            trainer, state, eval_ds, base_dir,
+            chunk=config.pipeline.model.eval_num_rays_per_chunk,
+            apply_cam_opt=config.is_eval,
+            evs_only=(config.pipeline.datamanager.rgb_frac == 0),
+            mesh=eval_mesh,
+            attempts=3,
+        )
+        print("[eval @ resume] "
+              + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
     logger.close()
     print("[lsenerf-tpu] done")
 
