@@ -199,6 +199,11 @@ def test_resume_zero_steps_runs_final_eval(tmp_path, monkeypatch):
     assert evals, "zero-step resume produced no eval_mean.json"
     means = json.load(open(evals[-1]))
     assert "psnr" in means and np.isfinite(means["psnr"])
+    # the zero-step run dir must be self-contained: downstream stages load
+    # from the NEWEST run dir's checkpoints/
+    assert glob.glob(
+        osp.join(out_dir, "**", "checkpoints", "step-*"), recursive=True
+    ), "zero-step resume saved no checkpoint"
 
 
 @pytest.mark.slow

@@ -311,6 +311,13 @@ def main(argv=None):
         )
         print("[eval @ resume] "
               + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+        # keep the run dir self-contained (a normal run's final save):
+        # downstream stages resolve "the newest run dir" and load from its
+        # checkpoints/ (e.g. the eval.sh stage of golden_real_scale.py)
+        ckpt_lib.save_checkpoint(
+            ckpt_dir, int(state.step) - 1, state.params, state.occ,
+            opt_state=state.opt_state, rng=state.rng,
+        )
     logger.close()
     print("[lsenerf-tpu] done")
 
