@@ -193,7 +193,19 @@ def render_bundle(
     whose log-gradient then drives the exponent unstably (the round-3
     golden-run NaN); with it they feed bounded random intensities, exactly
     like the reference."""
-    samples = march.march_rays(bundle, occ_state, config.grid, config.march_config())
+    mcfg = config.march_config()
+    if not train and mcfg.proposal_samples:
+        # proposal-guided sample relocation is a TRAINING-time speed lever;
+        # eval renders evaluate every occupied sample like the reference
+        # (nerfacc sampling has no reduced-budget mode,
+        # lse_grid_estimator.py:93-143). Measured on the event-supervised
+        # real-scale golden: rendering the F=16-trained model through the
+        # F=16 sampler costs -0.24 dB / -0.019 SSIM purely at render time
+        # (scripts/probe_eval_proposal.py).
+        from dataclasses import replace as dc_replace
+
+        mcfg = dc_replace(mcfg, proposal_samples=0)
+    samples = march.march_rays(bundle, occ_state, config.grid, mcfg)
     n, k = samples.mask.shape
 
     app_id = bundle.metadata.get("appearance_id")

@@ -416,6 +416,62 @@ def test_model_threads_grid_mean_into_alpha_thre():
     assert float(out_lo["accumulation"].max()) > 0.0
 
 
+def test_eval_render_ignores_proposal():
+    """Proposal relocation is a TRAINING-time lever: train=False renders
+    must evaluate every occupied sample (reference eval semantics,
+    lse_grid_estimator.py:93-143) — measured -0.24 dB / -0.019 SSIM of pure
+    render-time loss otherwise (scripts/probe_eval_proposal.py)."""
+    from dataclasses import replace as dc_replace
+
+    from lsenerf_tpu.cameras.rays import RayBundle
+    from lsenerf_tpu.models import field as field_lib
+    from lsenerf_tpu.models import lsenerf as model_lib
+    from lsenerf_tpu.ops import hash_encoding as he
+
+    cfg16 = model_lib.ModelConfig(
+        field=field_lib.FieldConfig(
+            hash=he.HashEncodingConfig(
+                num_levels=2, log2_hashmap_size=8, base_res=4, max_res=8
+            ),
+            use_contraction=False,
+        ),
+        grid=SMALL_GRID,
+        render_step_size=0.1,
+        max_samples=16,
+        max_candidates=64,
+        far_plane=8.0,
+        early_stop_eps=0.0,
+        proposal_samples=4,
+    ).normalized()
+    cfg0 = dc_replace(cfg16, proposal_samples=0)
+    params = model_lib.init_model(jax.random.PRNGKey(0), cfg16)
+    n = 4
+    bundle = RayBundle(
+        origins=jnp.tile(jnp.array([[-3.0, 0.0, 0.0]]), (n, 1)),
+        directions=jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1)),
+        pixel_area=jnp.ones((n, 1)),
+        camera_indices=jnp.zeros((n, 1), jnp.int32),
+        metadata={"appearance_id": jnp.zeros((n,), jnp.int32)},
+    )
+    base = occ_lib.init_occ_grid(SMALL_GRID)
+    occ = occ_lib.OccGridState(
+        occs=jnp.full_like(base.occs, 0.5),
+        binaries=jnp.ones_like(base.binaries),
+    )
+    # eval render at F=4 == eval render with proposal off (full sampler)
+    out16 = model_lib.render_bundle(params, bundle, occ, cfg16, train=False)
+    out0 = model_lib.render_bundle(params, bundle, occ, cfg0, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out16["rgb"]), np.asarray(out0["rgb"]), rtol=1e-6
+    )
+    # while the TRAIN path at F=4 really does use the reduced budget
+    tr16 = model_lib.render_bundle(params, bundle, occ, cfg16, train=True)
+    tr0 = model_lib.render_bundle(params, bundle, occ, cfg0, train=True)
+    assert float(jnp.mean(tr16["num_samples_per_ray"])) < float(
+        jnp.mean(tr0["num_samples_per_ray"])
+    )
+
+
 def test_render_rgb_backgrounds():
     w = jnp.array([[0.5, 0.0]])
     rgbs = jnp.array([[[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]])
