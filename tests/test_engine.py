@@ -92,6 +92,38 @@ def test_build_runtime_configs_modes():
     assert tr.mode == RunMode.PRETRAIN
 
 
+def test_eval_modes_disable_proposal():
+    """eval.sh / emb_eval.sh refinement stages are short frozen-field
+    optimizations for eval quality: they must fit poses/embeddings through
+    the FULL sampler, not the F-sample training renderer (quadrature
+    mismatch vs the full-sampler final renders — measured emb_eval SSIM
+    0.717 vs 0.776, PERFORMANCE.md round 5)."""
+    cfg = config_lib.parse_cli(["lsenerf"])
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.proposal_samples == 16  # auto -> 16 for non-emb train
+    cfg.is_eval = True
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.proposal_samples == 0
+    cfg.is_eval = False
+    cfg.do_pretrain = True
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.proposal_samples == 0
+    # auto -> 0 for per-frame event-embedding configs (emb_eval golden
+    # fails its gate at F=16: -0.52 dB / -0.058 SSIM) ...
+    cfg = config_lib.parse_cli(
+        ["lsenerf", "--pipeline.model.embed-config.embedding-type", "evs_emb"]
+    )
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.proposal_samples == 0
+    # ... while an explicit value is always honored
+    cfg = config_lib.parse_cli(
+        ["lsenerf", "--pipeline.model.embed-config.embedding-type", "evs_emb",
+         "--pipeline.model.proposal-samples", "16"]
+    )
+    _, m, *_ = config_lib.build_runtime_configs(cfg)
+    assert m.proposal_samples == 16
+
+
 def test_cli_defaults_match_bench_path():
     """A default train.py run must build the SAME compute path the published
     bench measures (blocked bf16 hash; packed/matmul march) — the CLI
